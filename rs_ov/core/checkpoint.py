@@ -1,0 +1,205 @@
+"""Checkpoint IO: torch/OpenAI/npz state dicts -> rs_ov param pytrees.
+
+Covers the reference's four load mechanisms (reference factory.py:127-162,
+openai.py:24-90, big_vision.py:9, segmentor.py:281-283) as pure name-mapping —
+weights keep torch's (out, in) layout so no transposes are needed (see
+rs_ov.core.params).
+
+torch is only imported when actually reading a ``.pt``/``.ckpt`` file; the
+mapping functions work on plain dicts of numpy arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from rs_ov.core.config import CLIPConfig
+
+__all__ = [
+    "load_torch_state_dict",
+    "clip_params_from_state_dict",
+    "vision_params_from_state_dict",
+    "text_params_from_state_dict",
+    "jbu_params_from_state_dict",
+    "infer_clip_config_from_state_dict",
+]
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor
+    return x.detach().cpu().float().numpy()
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a torch checkpoint file into {name: np.ndarray} (fp32).
+
+    Handles raw state dicts, {'state_dict': ...} wrappers and TorchScript
+    archives (OpenAI JIT .pt files — reference openai.py:40-58).
+    """
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception:
+            # OpenAI ships TorchScript archives
+            obj = torch.jit.load(path, map_location="cpu").state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if not isinstance(obj, Mapping):
+        obj = obj.state_dict()
+    return {k: _np(v) for k, v in obj.items()}
+
+
+def _ln(sd, prefix, dtype):
+    return {
+        "scale": jnp.asarray(sd[f"{prefix}.weight"], dtype),
+        "bias": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+    }
+
+
+def _block(sd, prefix, dtype):
+    return {
+        "ln_1": _ln(sd, f"{prefix}.ln_1", dtype),
+        "attn": {
+            "in_proj_w": jnp.asarray(sd[f"{prefix}.attn.in_proj_weight"], dtype),
+            "in_proj_b": jnp.asarray(sd[f"{prefix}.attn.in_proj_bias"], dtype),
+            "out_proj_w": jnp.asarray(sd[f"{prefix}.attn.out_proj.weight"], dtype),
+            "out_proj_b": jnp.asarray(sd[f"{prefix}.attn.out_proj.bias"], dtype),
+        },
+        "ln_2": _ln(sd, f"{prefix}.ln_2", dtype),
+        "mlp": {
+            "c_fc_w": jnp.asarray(sd[f"{prefix}.mlp.c_fc.weight"], dtype),
+            "c_fc_b": jnp.asarray(sd[f"{prefix}.mlp.c_fc.bias"], dtype),
+            "c_proj_w": jnp.asarray(sd[f"{prefix}.mlp.c_proj.weight"], dtype),
+            "c_proj_b": jnp.asarray(sd[f"{prefix}.mlp.c_proj.bias"], dtype),
+        },
+    }
+
+
+def _count_blocks(sd, prefix):
+    n = 0
+    while f"{prefix}.{n}.ln_1.weight" in sd:
+        n += 1
+    return n
+
+
+def vision_params_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "visual.",
+                                  dtype=jnp.float32) -> dict:
+    """Map an open_clip VisionTransformer state dict to an rs_ov pytree."""
+    p = prefix
+    n = _count_blocks(sd, f"{p}transformer.resblocks")
+    return {
+        "conv1_w": jnp.asarray(sd[f"{p}conv1.weight"], dtype),
+        "class_embedding": jnp.asarray(sd[f"{p}class_embedding"], dtype),
+        "positional_embedding": jnp.asarray(sd[f"{p}positional_embedding"], dtype),
+        "ln_pre": _ln(sd, f"{p}ln_pre", dtype),
+        "blocks": [_block(sd, f"{p}transformer.resblocks.{i}", dtype) for i in range(n)],
+        "ln_post": _ln(sd, f"{p}ln_post", dtype),
+        "proj": jnp.asarray(sd[f"{p}proj"], dtype),
+    }
+
+
+def text_params_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "",
+                                dtype=jnp.float32) -> dict:
+    """Map the CLIP text-tower state dict (reference model.py:220-270 naming)."""
+    p = prefix
+    n = _count_blocks(sd, f"{p}transformer.resblocks")
+    return {
+        "token_embedding": jnp.asarray(sd[f"{p}token_embedding.weight"], dtype),
+        "positional_embedding": jnp.asarray(sd[f"{p}positional_embedding"], dtype),
+        "blocks": [_block(sd, f"{p}transformer.resblocks.{i}", dtype) for i in range(n)],
+        "ln_final": _ln(sd, f"{p}ln_final", dtype),
+        "text_projection": jnp.asarray(sd[f"{p}text_projection"], dtype),
+    }
+
+
+def clip_params_from_state_dict(sd: Mapping[str, np.ndarray], dtype=jnp.float32) -> dict:
+    return {
+        "visual": vision_params_from_state_dict(sd, "visual.", dtype),
+        "text": text_params_from_state_dict(sd, "", dtype),
+        "logit_scale": jnp.asarray(sd["logit_scale"], dtype),
+    }
+
+
+def infer_clip_config_from_state_dict(sd: Mapping[str, np.ndarray],
+                                      quick_gelu: bool = True) -> CLIPConfig:
+    """Infer the architecture from a checkpoint, like the reference's
+    ``build_model_from_openai_state_dict`` (reference model.py:470-526)."""
+    from rs_ov.core.config import TextConfig, VisionConfig
+
+    v_width = sd["visual.conv1.weight"].shape[0]
+    patch = sd["visual.conv1.weight"].shape[-1]
+    v_layers = _count_blocks(sd, "visual.transformer.resblocks")
+    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    image_size = grid * patch
+    embed_dim = sd["visual.proj"].shape[1]
+    t_width = sd["ln_final.weight"].shape[0]
+    t_layers = _count_blocks(sd, "transformer.resblocks")
+    ctx = sd["positional_embedding"].shape[0]
+    vocab = sd["token_embedding.weight"].shape[0]
+    heads = t_width // 64
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        vision=VisionConfig(image_size=image_size, patch_size=patch,
+                            width=v_width, layers=v_layers, output_dim=embed_dim),
+        text=TextConfig(context_length=ctx, vocab_size=vocab, width=t_width,
+                        heads=heads, layers=t_layers, output_dim=embed_dim),
+        quick_gelu=quick_gelu,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimFeatUp / JBU checkpoints (reference segmentor.py:281-283 strips 'upsampler.'
+# -> keys like 'up.range_proj.0.weight'; JBUStack uses up1..up4)
+# ---------------------------------------------------------------------------
+
+def _jbu_module_from_sd(sd, prefix, dtype):
+    return {
+        "range_temp": jnp.asarray(sd[f"{prefix}.range_temp"], dtype),
+        "sigma_spatial": jnp.asarray(sd[f"{prefix}.sigma_spatial"], dtype),
+        "range_proj": {
+            "w0": jnp.asarray(sd[f"{prefix}.range_proj.0.weight"], dtype),
+            "b0": jnp.asarray(sd[f"{prefix}.range_proj.0.bias"], dtype),
+            "w1": jnp.asarray(sd[f"{prefix}.range_proj.3.weight"], dtype),
+            "b1": jnp.asarray(sd[f"{prefix}.range_proj.3.bias"], dtype),
+        },
+        "fixup_proj": {
+            "w0": jnp.asarray(sd[f"{prefix}.fixup_proj.0.weight"], dtype),
+            "b0": jnp.asarray(sd[f"{prefix}.fixup_proj.0.bias"], dtype),
+            "w1": jnp.asarray(sd[f"{prefix}.fixup_proj.3.weight"], dtype),
+            "b1": jnp.asarray(sd[f"{prefix}.fixup_proj.3.bias"], dtype),
+        },
+    }
+
+
+def jbu_params_from_state_dict(sd: Mapping[str, np.ndarray], model_name: str,
+                               dtype=jnp.float32, strip_prefix: str = "upsampler.") -> dict:
+    """Map a SimFeatUp checkpoint ('jbu_one' or 'jbu_stack') to a pytree."""
+    if strip_prefix:
+        sd = {(k[len(strip_prefix):] if k.startswith(strip_prefix) else k): v
+              for k, v in sd.items()}
+    if model_name == "jbu_one":
+        return {
+            "up": _jbu_module_from_sd(sd, "up", dtype),
+            "final_fixup": {
+                "w": jnp.asarray(sd["fixup_proj.1.weight"], dtype),
+                "b": jnp.asarray(sd["fixup_proj.1.bias"], dtype),
+            },
+        }
+    if model_name == "jbu_stack":
+        return {
+            "ups": [_jbu_module_from_sd(sd, f"up{i}", dtype) for i in (1, 2, 3, 4)],
+            "final_fixup": {
+                "w": jnp.asarray(sd["fixup_proj.1.weight"], dtype),
+                "b": jnp.asarray(sd["fixup_proj.1.bias"], dtype),
+            },
+        }
+    raise ValueError(f"Unknown SimFeatUp model '{model_name}'")
