@@ -1,0 +1,233 @@
+"""SimFeatUp / Joint Bilateral Upsampling, TPU-native.
+
+Re-implements the reference's learned-range JBU feature upsampler
+(reference simfeatup_dev/upsamplers.py:202-325):
+
+  * ``JBULearnedRange``: range kernel = softmax over a (2r+1)^2 unfolded
+    window of a 1x1-conv projection of the guidance image (:230-238), times a
+    Gaussian spatial kernel with learned sigma (:240-251), plus a fixup-conv
+    residual (:264); the source is bicubic-upsampled then convolved with the
+    per-pixel kernel — the reference calls an external CUDA op
+    (``featup.adaptive_conv_cuda.AdaptiveConv``, :274) whose exact math is
+    ``adaptive_conv_py_simple`` (:14-25).
+  * ``JBUOne``: ONE shared 2x module applied 4 times (radius 5) — the
+    production config (reference configs/base_config.py:22-24).
+  * ``JBUStack``: four distinct radius-3 modules.
+
+Here the adaptive conv is an unfold + einsum that XLA fuses onto the MXU; a
+Pallas kernel (rs_ov.kernels.adaptive_conv) supplies the tuned fast path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_ov.utils.resize import adaptive_avg_pool2d, reflect_pad_2d, resize_bicubic, resize_bilinear
+
+__all__ = [
+    "adaptive_conv",
+    "unfold",
+    "jbu_one_forward",
+    "jbu_stack_forward",
+    "bilinear_upsample",
+    "init_jbu_one_params",
+    "init_jbu_stack_params",
+    "get_upsampler",
+]
+
+
+def unfold(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """torch nn.Unfold(kernel) on [B, C, H, W] -> [B, C, k*k, H-k+1, W-k+1].
+
+    Expressed as k^2 static slices (XLA folds these into one fused gather-free
+    loop); channel-major / window-minor ordering matches torch.
+    """
+    b, c, h, w = x.shape
+    oh, ow = h - kernel + 1, w - kernel + 1
+    slices = [
+        x[:, :, u:u + oh, v:v + ow]
+        for u in range(kernel)
+        for v in range(kernel)
+    ]
+    return jnp.stack(slices, axis=2)  # [B, C, k*k, oh, ow]
+
+
+def adaptive_conv(inp: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
+    """Spatially-varying convolution (reference adaptive_conv_py_simple).
+
+    inp: [B, C, H1, W1]; filters: [B, H2, W2, f, f] with H2 = H1 - f + 1.
+    Returns [B, C, H2, W2]. fp32 accumulation on the MXU.
+    """
+    b, h2, w2, f1, f2 = filters.shape
+    assert f1 == f2
+    t_filters = filters.reshape(b, h2, w2, f1 * f2)
+    patches = unfold(inp, f1)  # [B, C, f*f, H2, W2]
+    out = jnp.einsum("bhwf,bcfhw->bchw", t_filters.astype(jnp.float32),
+                     patches.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(inp.dtype)
+
+
+def _conv1x1(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv on [B, C, H, W]; w: [O, C, 1, 1] or [O, C]."""
+    w2 = w.reshape(w.shape[0], -1)
+    y = jnp.einsum("oc,bchw->bohw", w2.astype(jnp.float32), x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)[None, :, None, None]).astype(x.dtype)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _proj2(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """conv1x1 -> GELU -> (Dropout2d inactive) -> conv1x1 (reference :214-226)."""
+    return _conv1x1(_gelu(_conv1x1(x, p["w0"], p["b0"])), p["w1"], p["b1"])
+
+
+def _spatial_kernel(diameter: int, sigma_spatial: jnp.ndarray) -> jnp.ndarray:
+    """exp(-(x^2+y^2) / (2 sigma^2)) over a [-1,1]^2 window (reference :240-251)."""
+    dist = np.linspace(-1.0, 1.0, diameter, dtype=np.float32)
+    sq = dist[:, None] ** 2 + dist[None, :] ** 2  # note torch meshgrid 'ij'
+    sq = jnp.asarray(sq.reshape(1, diameter * diameter, 1, 1))
+    sigma = sigma_spatial.astype(jnp.float32)
+    return jnp.exp(-sq / (2.0 * sigma ** 2))
+
+
+def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
+                       radius: int) -> jnp.ndarray:
+    """One learned-range JBU step: source [B,C,h,w] -> [B,C,GH,GW] where
+    (GH, GW) = guidance spatial shape (reference JBULearnedRange.forward)."""
+    diameter = radius * 2 + 1
+    gb, _, gh, gw = guidance.shape
+
+    proj = _proj2(guidance, p["range_proj"]).astype(jnp.float32)  # [B, key, GH, GW]
+    key_dim = proj.shape[1]
+    proj_padded = reflect_pad_2d(proj, radius)
+    queries = unfold(proj_padded, diameter)  # [B, key, d*d, GH, GW]
+    queries = queries.transpose(0, 1, 3, 4, 2)  # [B, key, GH, GW, d*d]
+
+    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
+    logits = jnp.einsum("bchwp,bchw->bphw", queries, proj,
+                        preferred_element_type=jnp.float32) * pos_temp
+    range_kernel = jax.nn.softmax(logits, axis=1)  # [B, d*d, GH, GW]
+
+    combined = range_kernel * _spatial_kernel(diameter, p["sigma_spatial"])
+    combined = combined / jnp.clip(jnp.sum(combined, axis=1, keepdims=True), 1e-7, None)
+
+    fixup_in = jnp.concatenate([combined.astype(guidance.dtype), guidance], axis=1)
+    combined = combined + 0.1 * _proj2(fixup_in, p["fixup_proj"]).astype(jnp.float32)
+    combined = combined.transpose(0, 2, 3, 1).reshape(gb, gh, gw, diameter, diameter)
+
+    hr_source = resize_bicubic(source, (gh, gw))
+    hr_source_padded = reflect_pad_2d(hr_source, radius)
+    return adaptive_conv(hr_source_padded, combined.astype(hr_source_padded.dtype))
+
+
+def _final_fixup(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Dropout2d(inactive) -> conv1x1, scaled residual (reference :296-301, :320-325)."""
+    return _conv1x1(x, p["w"], p["b"]) * 0.1 + x
+
+
+def _staged_upsample(source, guidance, step_fn):
+    """4 x2 stages, guidance adaptively pooled to each target size."""
+    x = source
+    for stage in range(4):
+        _, _, h, w = x.shape
+        small_guidance = adaptive_avg_pool2d(guidance, (h * 2, w * 2))
+        x = step_fn(stage, x, small_guidance)
+    return x
+
+
+def jbu_one_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
+                    radius: int = 5) -> jnp.ndarray:
+    """JBUOne: one shared module applied 4x (reference :304-325)."""
+    out = _staged_upsample(source, guidance,
+                           lambda _s, x, g: jbu_module_forward(p["up"], x, g, radius))
+    return _final_fixup(out, p["final_fixup"])
+
+
+def jbu_stack_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
+                      radius: int = 3) -> jnp.ndarray:
+    """JBUStack: four distinct radius-3 modules (reference :278-301)."""
+    out = _staged_upsample(source, guidance,
+                           lambda s, x, g: jbu_module_forward(p["ups"][s], x, g, radius))
+    return _final_fixup(out, p["final_fixup"])
+
+
+def bilinear_upsample(_p, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+    """'bilinear' upsampler: resize features to the guidance size (reference :343-350)."""
+    return resize_bilinear(source, (guidance.shape[-2], guidance.shape[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (for tests / random-weight runs; checkpoints load via
+# rs_ov.core.checkpoint.jbu_params_from_state_dict)
+# ---------------------------------------------------------------------------
+
+def _init_proj2(key, cin, cmid, cout, dtype):
+    k0, k1 = jax.random.split(key)
+    s0 = (cin) ** -0.5
+    s1 = (cmid) ** -0.5
+    return {
+        "w0": (jax.random.normal(k0, (cmid, cin, 1, 1)) * s0).astype(dtype),
+        "b0": jnp.zeros((cmid,), dtype),
+        "w1": (jax.random.normal(k1, (cout, cmid, 1, 1)) * s1).astype(dtype),
+        "b1": jnp.zeros((cout,), dtype),
+    }
+
+
+def _init_jbu_module(key, guidance_dim, key_dim, radius, dtype):
+    d2 = (radius * 2 + 1) ** 2
+    k0, k1 = jax.random.split(key)
+    return {
+        "range_temp": jnp.zeros((), dtype),
+        "sigma_spatial": jnp.ones((), dtype),
+        "range_proj": _init_proj2(k0, guidance_dim, key_dim, key_dim, dtype),
+        "fixup_proj": _init_proj2(k1, guidance_dim + d2, d2, d2, dtype),
+    }
+
+
+def init_jbu_one_params(key, feat_dim: int, guidance_dim: int = 3,
+                        key_dim: int = 32, radius: int = 5, dtype=jnp.float32) -> dict:
+    k0, k1 = jax.random.split(key)
+    return {
+        "up": _init_jbu_module(k0, guidance_dim, key_dim, radius, dtype),
+        "final_fixup": {
+            "w": (jax.random.normal(k1, (feat_dim, feat_dim, 1, 1))
+                  * feat_dim ** -0.5).astype(dtype),
+            "b": jnp.zeros((feat_dim,), dtype),
+        },
+    }
+
+
+def init_jbu_stack_params(key, feat_dim: int, guidance_dim: int = 3,
+                          key_dim: int = 32, radius: int = 3, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 5)
+    return {
+        "ups": [_init_jbu_module(keys[i], guidance_dim, key_dim, radius, dtype)
+                for i in range(4)],
+        "final_fixup": {
+            "w": (jax.random.normal(keys[4], (feat_dim, feat_dim, 1, 1))
+                  * feat_dim ** -0.5).astype(dtype),
+            "b": jnp.zeros((feat_dim,), dtype),
+        },
+    }
+
+
+def get_upsampler(name: str):
+    """Registry (reference get_upsampler :353-369). Returns (forward, init).
+
+    forward(params, source, guidance) -> upsampled features.
+    """
+    if name == "bilinear":
+        return bilinear_upsample, lambda key, dim, dtype=jnp.float32: {}
+    if name == "jbu_one":
+        return (lambda p, s, g: jbu_one_forward(p, s, g, radius=5),
+                lambda key, dim, dtype=jnp.float32: init_jbu_one_params(key, dim, dtype=dtype))
+    if name == "jbu_stack":
+        return (lambda p, s, g: jbu_stack_forward(p, s, g, radius=3),
+                lambda key, dim, dtype=jnp.float32: init_jbu_stack_params(key, dim, dtype=dtype))
+    raise ValueError(f"Unknown upsampler '{name}' (known: bilinear, jbu_one, jbu_stack)")
