@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Single-dataset evaluation CLI (same surface as reference eval.py:14-46).
+
+    python eval.py --config configs/cfg_potsdam.py --work-dir work_dirs/potsdam
+
+Framework additions: --checkpoint / --upsampler-checkpoint (no implicit
+downloads in this zero-egress environment), --max-samples, --shard R/W for
+multi-process data-parallel eval (the dist_test.sh role).
+"""
+
+import argparse
+import json
+import os
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="rs_ov open-vocab segmentation eval")
+    parser.add_argument("--config", default="./configs/cfg_potsdam.py")
+    parser.add_argument("--work-dir", default="./work_logs/")
+    parser.add_argument("--show", action="store_true", help="(accepted, unused)")
+    parser.add_argument("--show-dir", default="./show-dir/")
+    parser.add_argument("--save-seg-dir", default=None,
+                        help="directory for per-image colorized masks")
+    parser.add_argument("--save-heatmap-dir", default=None,
+                        help="directory for per-image confidence heatmaps")
+    parser.add_argument("--launcher", choices=["none", "pytorch", "slurm", "mpi", "jax"],
+                        default="none", help="accepted for compat; sharding via --shard")
+    parser.add_argument("--local_rank", "--local-rank", type=int, default=0)
+    parser.add_argument("--checkpoint", default=None, help="CLIP torch checkpoint path")
+    parser.add_argument("--upsampler-checkpoint", default=None,
+                        help="SimFeatUp checkpoint path")
+    parser.add_argument("--max-samples", type=int, default=None)
+    parser.add_argument("--shard", default="0/1", help="rank/world for dataset sharding")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    save_seg_dir = args.save_seg_dir or os.environ.get("SAVE_SEG_DIR")
+    save_heatmap_dir = args.save_heatmap_dir or os.environ.get("SAVE_HEATMAP_DIR")
+    rank, world = (int(x) for x in args.shard.split("/"))
+
+    from rs_ov.evalsuite.runner import run_eval
+
+    overrides = {}
+    if args.checkpoint:
+        overrides["checkpoint_path"] = args.checkpoint
+    if args.upsampler_checkpoint:
+        overrides.setdefault("sim_feat_up_cfg", {})
+        overrides["sim_feat_up_cfg"] = {"model_name": "jbu_one",
+                                        "model_path": args.upsampler_checkpoint}
+
+    results = run_eval(args.config, work_dir=args.work_dir, shard=(rank, world),
+                       max_samples=args.max_samples, model_overrides=overrides,
+                       save_seg_dir=save_seg_dir, save_heatmap_dir=save_heatmap_dir)
+    print(json.dumps({k: results[k] for k in
+                      ("aAcc", "mIoU", "mAcc", "num_images", "tiles512_per_sec")},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()

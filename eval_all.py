@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Loop eval over all dataset configs (reference eval_all.py:2-27).
+
+Runs in-process (one segmentor rebuild per config) instead of os.system —
+failures are caught and reported, not silently ignored."""
+
+import argparse
+import json
+import traceback
+
+CONFIGS = [
+    # rs semantic segmentation
+    "./configs/cfg_openearthmap.py",
+    "./configs/cfg_loveda.py",
+    "./configs/cfg_isaid.py",
+    "./configs/cfg_potsdam.py",
+    "./configs/cfg_vaihingen.py",
+    "./configs/cfg_uavid.py",
+    "./configs/cfg_udd5.py",
+    "./configs/cfg_vdd.py",
+    # rs single-class
+    "./configs/cfg_whu_building.py",
+    "./configs/cfg_whu_sat_II.py",
+    "./configs/cfg_inria.py",
+    "./configs/cfg_xbd.py",
+    "./configs/cfg_chn6-cug.py",
+    "./configs/cfg_deepglobe_road.py",
+    "./configs/cfg_massachusetts_road.py",
+    "./configs/cfg_spacenet_road.py",
+    "./configs/cfg_wbs-si.py",
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--work-dir", default="work_dirs/all")
+    parser.add_argument("--max-samples", type=int, default=None)
+    parser.add_argument("--checkpoint", default=None)
+    args = parser.parse_args()
+
+    from rs_ov.evalsuite.runner import run_eval
+
+    overrides = {"checkpoint_path": args.checkpoint} if args.checkpoint else {}
+    summary = {}
+    for config in CONFIGS:
+        print(f"Running {config}", flush=True)
+        try:
+            r = run_eval(config, work_dir=args.work_dir,
+                         max_samples=args.max_samples, model_overrides=overrides)
+            summary[config] = {k: r[k] for k in ("aAcc", "mIoU", "mAcc", "num_images")}
+        except FileNotFoundError as e:
+            summary[config] = {"error": f"dataset missing: {e}"}
+        except Exception:
+            summary[config] = {"error": traceback.format_exc(limit=3)}
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Image preprocessing (the SegDataPreProcessor contract).
+
+The reference normalises with mean [122.771, 116.746, 104.094] /
+std [68.501, 66.632, 70.323] after BGR->RGB (reference segmentor.py:64-67).
+Images here load as RGB, so only the normalisation applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rs_ov.pipeline.segmentor import PREPROC_MEAN, PREPROC_STD
+
+__all__ = ["preprocess_image", "load_image", "load_annotation"]
+
+
+def preprocess_image(img_rgb: np.ndarray) -> np.ndarray:
+    """HWC uint8/float RGB -> CHW float32 normalised."""
+    x = img_rgb.astype(np.float32)
+    x = (x - PREPROC_MEAN) / PREPROC_STD
+    return np.ascontiguousarray(x.transpose(2, 0, 1))
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_annotation(path: str, reduce_zero_label: bool = False,
+                    ignore_index: int = 255) -> np.ndarray:
+    """Load a label map with mmseg's reduce_zero_label semantics."""
+    from PIL import Image
+    label = np.asarray(Image.open(path)).astype(np.int64)
+    if label.ndim == 3:
+        label = label[..., 0]
+    if reduce_zero_label:
+        label = label.copy()
+        label[label == 0] = ignore_index
+        label = label - 1
+        label[label == ignore_index - 1] = ignore_index
+    return label

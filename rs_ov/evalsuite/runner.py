@@ -1,0 +1,124 @@
+"""Eval runner — the mmengine Runner/TestLoop replacement.
+
+config -> SegmentorEx -> dataset walk -> IoUMetric, with optional dataset
+sharding for data-parallel eval across processes/hosts (the reference's
+dist_test.sh role; shards merge via IoUMetric.merge / parallel.psum_metric).
+Results land in work_dir/results.txt and results.csv (the reference writes
+results.xlsx via openpyxl — unavailable here, CSV carries the same columns).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from rs_ov.data.datasets import get_dataset_meta
+from rs_ov.data.loader import SegDataset
+from rs_ov.evalsuite.config import load_config
+from rs_ov.evalsuite.metrics import IoUMetric
+from rs_ov.pipeline.segmentor import SegmentorEx
+
+__all__ = ["build_segmentor_from_config", "run_eval", "append_experiment_result"]
+
+_MODEL_KEY_DROP = ("type", "device")
+
+
+def build_segmentor_from_config(cfg: dict, overrides: Optional[dict] = None,
+                                config_dir: str | None = None) -> SegmentorEx:
+    model_cfg = dict(cfg["model"])
+    for k in _MODEL_KEY_DROP:
+        model_cfg.pop(k, None)
+    if overrides:
+        model_cfg.update(overrides)
+    name_path = model_cfg.get("name_path", "")
+    if name_path and not os.path.exists(name_path):
+        # reference configs use paths relative to the repo root
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        candidate = os.path.join(repo_root, name_path.lstrip("./"))
+        if os.path.exists(candidate):
+            model_cfg["name_path"] = candidate
+    # missing upsampler checkpoints fall back to random init inside SegmentorEx
+    return SegmentorEx(**model_cfg)
+
+
+def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
+             shard: tuple[int, int] = (0, 1), max_samples: Optional[int] = None,
+             model_overrides: Optional[dict] = None,
+             save_seg_dir: Optional[str] = None,
+             save_heatmap_dir: Optional[str] = None,
+             segmentor: Optional[SegmentorEx] = None,
+             verbose: bool = True) -> dict:
+    cfg = load_config(config_path)
+    if segmentor is None:
+        overrides = dict(model_overrides or {})
+        if save_seg_dir:
+            overrides["result_dir"] = save_seg_dir
+        if save_heatmap_dir:
+            overrides["heatmap_dir"] = save_heatmap_dir
+        segmentor = build_segmentor_from_config(cfg, overrides,
+                                                os.path.dirname(config_path))
+
+    ds_cfg = cfg["test_dataloader"]["dataset"]
+    meta = get_dataset_meta(ds_cfg["type"])
+    import dataclasses
+    meta_kwargs = {}
+    for field in ("img_suffix", "seg_map_suffix", "reduce_zero_label", "ignore_index"):
+        if field in ds_cfg:
+            meta_kwargs[field] = ds_cfg[field]
+    if meta_kwargs:
+        meta = dataclasses.replace(meta, **meta_kwargs)
+    prefix = ds_cfg["data_prefix"]
+    dataset = SegDataset(ds_cfg["type"], prefix["img_path"],
+                         prefix.get("seg_map_path"), meta=meta, shard=shard,
+                         max_samples=max_samples)
+
+    metric = IoUMetric(num_classes=len(meta.classes), ignore_index=meta.ignore_index,
+                       class_names=meta.classes)
+
+    n = len(dataset)
+    t0 = time.perf_counter()
+    pixels = 0
+    for i, sample in enumerate(dataset):
+        result = segmentor.predict(sample.img[None], [sample.meta])[0]
+        pred = np.asarray(result["pred_sem_seg"])[0]
+        pixels += pred.size
+        if sample.seg is not None:
+            metric.process(pred, sample.seg)
+        if verbose and (i + 1) % 50 == 0:
+            print(f"[eval] {i + 1}/{n} images", flush=True)
+    elapsed = time.perf_counter() - t0
+
+    results = metric.compute()
+    results["num_images"] = n
+    results["elapsed_sec"] = elapsed
+    results["tiles512_per_sec"] = (pixels / (512.0 * 512.0)) / elapsed if elapsed else 0.0
+
+    os.makedirs(work_dir, exist_ok=True)
+    tag = os.path.splitext(os.path.basename(config_path))[0]
+    if shard[0] == 0:
+        append_experiment_result(
+            os.path.join(work_dir, "results.csv"),
+            [[segmentor.clip_type, segmentor.vit_type, segmentor.model_type, tag,
+              f"{results['aAcc']:.2f}", f"{results['mIoU']:.2f}",
+              f"{results['mAcc']:.2f}"]])
+        with open(os.path.join(work_dir, "results.txt"), "a") as f:
+            f.write(f"{tag}: " + json.dumps(
+                {k: results[k] for k in ("aAcc", "mIoU", "mAcc",
+                                         "num_images", "tiles512_per_sec")}) + "\n")
+    return results
+
+
+def append_experiment_result(path: str, rows: list[list]) -> None:
+    """CSV analogue of the reference's openpyxl logger (reference utils.py:3-31)."""
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(["CLIP", "VIT", "MODEL", "Dataset", "aAcc", "mIoU", "mAcc"])
+        w.writerows(rows)

@@ -1,0 +1,388 @@
+"""Open-vocabulary segmentor — the reference's SegmentorEx/Segmentor API on a
+fully-batched, jit-compiled TPU pipeline.
+
+Where the reference runs a Python loop of single-tile forwards
+(reference segmentor.py:394-451) and pokes modules onto the ViT at runtime
+(:196-274), here every image shape compiles ONCE into a single XLA program:
+tile extraction -> batched decontaminating ViT over all tiles -> (optionally)
+cross-tile fusion, global debias, CTD, SimFeatUp -> cosine classification ->
+overlap-average stitch -> resize -> softmax/synonym-merge/threshold.
+
+API mirrors reference segmentor.py:26-622 (``SegmentorEx``) and
+segearth_segmentor.py:23-373 (``Segmentor``); framework-specific additions:
+``checkpoint_path`` (no implicit downloads), ``param_dtype``,
+``apply_cross_tile_fusion`` (the reference designed but never wired it —
+reference segmentor.py:286,:433).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_ov.core.checkpoint import (
+    clip_params_from_state_dict,
+    jbu_params_from_state_dict,
+    load_torch_state_dict,
+)
+from rs_ov.core.config import get_model_config
+from rs_ov.core.params import cast_floating, init_clip_params
+from rs_ov.decontam.cross_tile import CrossTileFusionConfig, fuse_tile_grid
+from rs_ov.decontam.ctd import adaptive_debiasing, cluster_patch_tokens_dbscan
+from rs_ov.decontam.global_debias import global_debias
+from rs_ov.nn.vit import VitCallConfig, vit_forward
+from rs_ov.pipeline.postprocess import postprocess_logits, query_onehot
+from rs_ov.pipeline.tiler import compute_padsize, extract_tiles, stitch, tile_grid
+from rs_ov.text.classifier import build_text_classifier, get_cls_idx
+from rs_ov.text.templates import OPENAI_IMAGENET_TEMPLATES
+from rs_ov.upsample.jbu import get_upsampler
+
+__all__ = ["SegmentorEx", "Segmentor", "PREPROC_MEAN", "PREPROC_STD"]
+
+# SegDataPreProcessor constants (reference segmentor.py:64-67), RGB order
+PREPROC_MEAN = np.array([122.771, 116.746, 104.094], np.float32)
+PREPROC_STD = np.array([68.501, 66.632, 70.323], np.float32)
+
+
+def _resolve_arch(clip_type: str, vit_type: str) -> str:
+    """(clip_type, vit_type) -> arch name (reference segmentor.py:69-112)."""
+    b = "B" in vit_type
+    table = {
+        "CLIP": "ViT-B/16" if b else "ViT-L/14",
+        "RemoteCLIP": "ViT-B-32" if b else "ViT-L-14",
+        "GeoRSCLIP": ("ViT-B-32" if b else
+                      ("ViT-H-14" if "H" in vit_type else "ViT-L-14")),
+        "SkyCLIP": "ViT-B-32" if b else "ViT-L-14",
+        "OpenCLIP": "ViT-B-16" if b else "ViT-L-14",
+        "MetaCLIP": "ViT-B-16-quickgelu" if b else "ViT-L-14-quickgelu",
+        "ALIP": "ViT-B-32",
+    }
+    if clip_type not in table:
+        raise NotImplementedError(
+            f"clip_type '{clip_type}' not yet supported (known: {sorted(table)}, BLIP pending)")
+    return table[clip_type]
+
+
+class SegmentorEx:
+    """Training-free open-vocab segmentor with the full decontamination stack."""
+
+    def __init__(self,
+                 clip_type: str = "CLIP",
+                 vit_type: str = "ViT-B/16",
+                 model_type: str = "Experimental",
+                 name_path: str = "",
+                 ignore_residual: bool = True,
+                 prob_thd: float = 0.0,
+                 logit_scale: float = 50.0,
+                 slide_stride: int = 112,
+                 slide_crop: int = 224,
+                 cls_token_lambda: float = 0.0,
+                 global_debias_factor: float = 0.0,
+                 bg_idx: int = 0,
+                 apply_sim_feat_up: bool = False,
+                 sim_feat_up_cfg: Optional[dict] = None,
+                 apply_ctd: bool = False,
+                 ctd_cfg: Optional[dict] = None,
+                 apply_outlier_suppression: bool = False,
+                 outlier_suppression_cfg: Optional[dict] = None,
+                 apply_self_attn_enhancement: bool = False,
+                 self_attn_enhancement_cfg: Optional[dict] = None,
+                 apply_layer_fusion: bool = False,
+                 layer_fusion_lambda: float = 0.5,
+                 layer_fusion_threshold: float = 0.7,
+                 apply_similarity_enhancement: bool = False,
+                 similarity_enhancement_cfg: Optional[dict] = None,
+                 apply_cross_tile_fusion: bool = False,
+                 cross_tile_fusion_cfg: Optional[dict] = None,
+                 result_dir: Optional[str] = None,
+                 heatmap_dir: Optional[str] = None,
+                 # framework-level knobs
+                 checkpoint_path: Optional[str] = None,
+                 params: Optional[dict] = None,
+                 upsampler_params: Optional[dict] = None,
+                 param_dtype=None,
+                 templates=OPENAI_IMAGENET_TEMPLATES,
+                 tile_chunk: int = 0,
+                 seed: int = 0,
+                 clip_config=None,  # explicit CLIPConfig (tests / custom arch)
+                 device=None,  # accepted for API compat; placement is JAX's job
+                 ):
+        del device
+        self.clip_type = clip_type
+        self.vit_type = vit_type
+        self.model_type = model_type
+        self.cfg = clip_config if clip_config is not None \
+            else get_model_config(_resolve_arch(clip_type, vit_type))
+        self.patch_size = self.cfg.vision.patch_size
+
+        if param_dtype is None:
+            param_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        self.param_dtype = param_dtype
+
+        if params is not None:
+            self.params = cast_floating(params, param_dtype)
+        elif checkpoint_path:
+            sd = load_torch_state_dict(checkpoint_path)
+            self.params = cast_floating(clip_params_from_state_dict(sd), param_dtype)
+        else:
+            # zero-egress environment: no implicit weight downloads — random
+            # init keeps the full pipeline runnable/benchmarkable
+            self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg,
+                                           dtype=param_dtype)
+
+        # ---- text side: prompt-ensemble query features (frozen) ----
+        query_words, self.query_idx = get_cls_idx(name_path)
+        self.num_queries = len(query_words)
+        self.num_classes = max(self.query_idx) + 1
+        self.query_features = build_text_classifier(
+            self.params["text"], query_words, self.cfg.text,
+            quick_gelu=self.cfg.quick_gelu, templates=templates)  # [Q, D] fp32
+        self._onehot = jnp.asarray(query_onehot(self.query_idx))
+
+        # ---- static call config for the ViT ----
+        sim_cfg = dict(similarity_weight=1.0, temperature=1.0, add_self_similarity=True)
+        sim_cfg.update(similarity_enhancement_cfg or {})
+        out_cfg = dict(top_k=10, contamination_temp=0.1)
+        out_cfg.update(outlier_suppression_cfg or {})
+        sa_cfg = dict(enhancement_strength=0.1, min_self_attn_threshold=0.15,
+                      mode="feature", top_k=10)
+        sa_cfg.update(self_attn_enhancement_cfg or {})
+        self.call = VitCallConfig(
+            model_type=model_type,
+            ignore_residual=ignore_residual,
+            output_cls_token=True,
+            quick_gelu=self.cfg.quick_gelu,
+            apply_similarity_enhancement=apply_similarity_enhancement,
+            similarity_weight=sim_cfg["similarity_weight"],
+            similarity_temperature=sim_cfg["temperature"],
+            add_self_similarity=sim_cfg["add_self_similarity"],
+            apply_outlier_suppression=apply_outlier_suppression,
+            outlier_top_k=out_cfg["top_k"],
+            contamination_temp=out_cfg["contamination_temp"],
+            apply_self_attn_enhancement=apply_self_attn_enhancement,
+            self_attn_strength=sa_cfg["enhancement_strength"],
+            self_attn_threshold=sa_cfg["min_self_attn_threshold"],
+            self_attn_mode=sa_cfg["mode"],
+            self_attn_top_k=sa_cfg["top_k"],
+            apply_layer_fusion=apply_layer_fusion,
+            layer_fusion_lambda=layer_fusion_lambda,
+            layer_fusion_threshold=layer_fusion_threshold,
+        )
+
+        self.ignore_residual = ignore_residual
+        self.logit_scale = float(logit_scale)
+        self.prob_thd = float(prob_thd)
+        self.slide_stride = slide_stride
+        self.slide_crop = slide_crop
+        self.cls_token_lambda = float(cls_token_lambda)
+        self.global_debias_factor = float(global_debias_factor)
+        self.bg_idx = int(bg_idx)
+        self.apply_ctd = apply_ctd
+        self.ctd_cfg = {"max_points": 8192, "metric": "euclidean",
+                        "eps": 1.1, "min_samples": 11}
+        self.ctd_cfg.update(ctd_cfg or {})
+        self.apply_cross_tile_fusion = apply_cross_tile_fusion
+        self.ctf_cfg = CrossTileFusionConfig(**(cross_tile_fusion_cfg or {}))
+        self.result_dir = result_dir
+        self.heatmap_dir = heatmap_dir
+        self.tile_chunk = tile_chunk
+
+        # ---- SimFeatUp upsampler ----
+        self.apply_sim_feat_up = apply_sim_feat_up
+        self.upsampler_name = (sim_feat_up_cfg or {}).get("model_name", "jbu_one")
+        self.upsampler_params = None
+        if apply_sim_feat_up:
+            self.feat_dim = self.cfg.embed_dim
+            fwd, init = get_upsampler(self.upsampler_name)
+            self._upsample_fn = fwd
+            model_path = (sim_feat_up_cfg or {}).get("model_path")
+            if upsampler_params is not None:
+                self.upsampler_params = cast_floating(upsampler_params, param_dtype)
+            elif model_path and os.path.exists(model_path):
+                sd = load_torch_state_dict(model_path)
+                self.upsampler_params = cast_floating(
+                    jbu_params_from_state_dict(sd, self.upsampler_name), param_dtype)
+            else:
+                self.upsampler_params = cast_floating(
+                    init(jax.random.PRNGKey(seed + 1), self.feat_dim), param_dtype)
+
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # the fused per-image program
+    # ------------------------------------------------------------------
+
+    def _decontam_and_classify(self, tokens, cls_norm, cls_logits, tiles,
+                               grid_hw, pads, tile_hw):
+        """tokens [T, P, C] -> per-tile logits [T, Q, th, tw] (tile size)."""
+        from rs_ov.utils.resize import resize_bilinear
+
+        gh, gw = grid_hw
+        t = tokens.shape[0]
+
+        if self.global_debias_factor != 0.0:
+            tokens = global_debias(tokens, cls_norm, self.global_debias_factor)
+
+        if self.apply_ctd:
+            _, labels = cluster_patch_tokens_dbscan(tokens, (gh, gw), self.ctd_cfg)
+            tokens = adaptive_debiasing(tokens, labels, cls_norm, factor=-1.5)
+
+        if self.apply_sim_feat_up:
+            feats = tokens.transpose(0, 2, 1).reshape(t, -1, gh, gw)
+            feats = self._upsample_fn(self.upsampler_params, feats, tiles)
+            c = feats.shape[1]
+            ph, pw = feats.shape[-2], feats.shape[-1]
+            feats = feats.reshape(t, c, ph * pw).transpose(0, 2, 1)  # [T, HW, C]
+            out_hw = (ph, pw)
+        else:
+            feats = tokens
+            out_hw = (gh, gw)
+
+        f32 = feats.astype(jnp.float32)
+        f32 = f32 / jnp.maximum(jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
+        logits = jnp.einsum("tnc,qc->tnq", f32, self.query_features,
+                            preferred_element_type=jnp.float32)
+        if self.cls_token_lambda != 0.0:
+            logits = logits + cls_logits[:, None, :] * self.cls_token_lambda
+
+        q = logits.shape[-1]
+        logits = logits.transpose(0, 2, 1).reshape(t, q, out_hw[0], out_hw[1])
+        # resize to the PADDED tile size, then cut the pad margin
+        pad_h = tile_hw[0] + pads[2] + pads[3]
+        pad_w = tile_hw[1] + pads[0] + pads[1]
+        logits = resize_bilinear(logits, (pad_h, pad_w))
+        if any(pads):
+            l, _, tp, _ = pads[0], pads[1], pads[2], pads[3]
+            logits = logits[:, :, tp:tp + tile_hw[0], l:l + tile_hw[1]]
+        return logits
+
+    def _forward_tiles(self, params, tiles, grid_hw, pads, tile_hw):
+        """tiles [T, 3, ch, cw] (padded) -> per-tile logits [T, Q, th, tw]."""
+        pooled, tokens = vit_forward(params["visual"], tiles, self.cfg.vision, self.call)
+        p32 = pooled.astype(jnp.float32)
+        cls_norm = p32 / jnp.maximum(jnp.linalg.norm(p32, axis=-1, keepdims=True), 1e-12)
+        cls_logits = cls_norm @ self.query_features.T  # [T, Q]
+
+        if self.apply_cross_tile_fusion:
+            gh_p = tiles.shape[-2] // self.patch_size
+            gw_p = tiles.shape[-1] // self.patch_size
+            tokens = fuse_tile_grid(tokens, grid_hw, (gh_p, gw_p), self.ctf_cfg)
+
+        gh_p = tiles.shape[-2] // self.patch_size
+        gw_p = tiles.shape[-1] // self.patch_size
+        return self._decontam_and_classify(tokens, cls_norm, cls_logits, tiles,
+                                           (gh_p, gw_p), pads, tile_hw)
+
+    def _build_image_fn(self, h_img: int, w_img: int, ori_shape: tuple[int, int]):
+        """Compile the full slide-inference program for one image geometry."""
+        from rs_ov.utils.resize import resize_bilinear
+
+        if self.slide_crop > 0:
+            coords, grid_shape = tile_grid(h_img, w_img, self.slide_stride, self.slide_crop)
+        else:
+            coords, grid_shape = ((0, 0, h_img, w_img),), (1, 1)
+        ch = coords[0][2] - coords[0][0]
+        cw = coords[0][3] - coords[0][1]
+        pads = compute_padsize(ch, cw, self.patch_size)
+
+        def image_fn(params, upsampler_params, query_features, img):
+            del upsampler_params, query_features  # closed over via self
+            tiles = extract_tiles(img, coords)  # [T, 3, ch, cw]
+            if any(pads):
+                l, r, tp, b = pads
+                tiles = jnp.pad(tiles, ((0, 0), (0, 0), (tp, b), (l, r)))
+            tile_logits = self._forward_tiles(params, tiles.astype(self.param_dtype),
+                                              grid_shape, pads, (ch, cw))
+            preds = stitch(tile_logits, coords, h_img, w_img)  # [Q, H, W]
+            preds = resize_bilinear(preds, ori_shape)
+            return postprocess_logits(preds, self._onehot,
+                                      logit_scale=self.logit_scale,
+                                      prob_thd=self.prob_thd, bg_idx=self.bg_idx)
+
+        return jax.jit(image_fn)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def forward_feature(self, img, logit_size=None):
+        """Single-shot (non-slide) per-pixel logits for img [B, 3, H, W]."""
+        img = jnp.asarray(img)
+        h, w = img.shape[-2], img.shape[-1]
+        pads = compute_padsize(h, w, self.patch_size)
+        tiles = img
+        if any(pads):
+            l, r, tp, b = pads
+            tiles = jnp.pad(tiles, ((0, 0), (0, 0), (tp, b), (l, r)))
+        logits = self._forward_tiles(self.params, tiles.astype(self.param_dtype),
+                                     (1, 1), pads, (h, w))
+        if logit_size is not None:
+            from rs_ov.utils.resize import resize_bilinear
+            logits = resize_bilinear(logits, tuple(logit_size))
+        return logits
+
+    def predict(self, inputs, data_samples=None):
+        """inputs: [B, 3, H, W] preprocessed (mean/std-normalised RGB).
+
+        Returns a list of dicts: {'seg_logits': [C, oh, ow], 'pred_sem_seg':
+        [1, oh, ow]} per image (the mmengine PixelData contract, flattened).
+        """
+        inputs = np.asarray(inputs)
+        results = []
+        for i in range(inputs.shape[0]):
+            meta = (data_samples[i] if data_samples is not None else None) or {}
+            ori_shape = tuple(meta.get("ori_shape", inputs.shape[-2:]))[:2]
+            h, w = inputs.shape[-2], inputs.shape[-1]
+            key = (h, w, ori_shape)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = self._build_image_fn(h, w, ori_shape)
+            probs, pred = self._jit_cache[key](
+                self.params, self.upsampler_params, self.query_features,
+                jnp.asarray(inputs[i]))
+            result = {"seg_logits": probs, "pred_sem_seg": pred}
+            results.append(result)
+            self._maybe_dump(result, meta, i)
+        return results
+
+    # ------------------------------------------------------------------
+
+    def _maybe_dump(self, result, meta, i):
+        if not (self.result_dir or self.heatmap_dir):
+            return
+        from rs_ov.data.palette import colorize_mask, confidence_heatmap
+
+        stem = None
+        for key in ("img_path", "ori_path", "filename", "ori_filename"):
+            if meta.get(key):
+                stem = os.path.splitext(os.path.basename(meta[key]))[0]
+                break
+        stem = stem or f"sample_{i}"
+        if self.result_dir:
+            os.makedirs(self.result_dir, exist_ok=True)
+            colorize_mask(np.asarray(result["pred_sem_seg"])[0],
+                          self.num_classes, self.bg_idx,
+                          os.path.join(self.result_dir, f"{stem}.png"))
+        if self.heatmap_dir:
+            os.makedirs(self.heatmap_dir, exist_ok=True)
+            conf = np.asarray(result["seg_logits"]).max(axis=0)
+            confidence_heatmap(conf, os.path.join(self.heatmap_dir, f"{stem}.png"))
+
+
+class Segmentor(SegmentorEx):
+    """The plain SegEarth-OV variant (reference segearth_segmentor.py:23-373):
+    same pipeline without the CTD/outlier/similarity/layer-fusion hooks."""
+
+    def __init__(self, clip_type="CLIP", vit_type="ViT-B/16", model_type="SegEarth",
+                 name_path="", **kwargs):
+        for banned in ("apply_ctd", "apply_outlier_suppression",
+                       "apply_self_attn_enhancement", "apply_layer_fusion",
+                       "apply_similarity_enhancement"):
+            kwargs.pop(banned, None)
+        super().__init__(clip_type=clip_type, vit_type=vit_type,
+                         model_type=model_type, name_path=name_path, **kwargs)
