@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Throughput benchmark: 512x512 tiles/sec/chip for the flagship pipeline.
+
+Flagship = ViT-B/16, Experimental self-self attention, similarity
+enhancement, outlier suppression (top_k=30), global debias 0.2, SimFeatUp
+jbu_one 16x upsampling — the production recipe of
+reference configs/base_config.py:2-25 — run as sliding-window inference
+(stride 112, crop 224) over 512^2 images, i.e. 16 ViT+JBU tile forwards per
+unit.
+
+Prints ONE json line:
+  {"metric": "512^2 tiles/sec/chip (ViT-B/16)", "value": N,
+   "unit": "tiles/s", "vs_baseline": N / cpu_reference_tiles_per_sec}
+
+The CPU reference number is the reference repo's own torch modules (fp32,
+this machine) measured once and cached in benchmarks/cpu_reference.json.
+The driver-set target is vs_baseline >= 20 (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "benchmarks", "cpu_reference.json")
+IMG = 512
+REPEATS = 8
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    param_dtype = jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") \
+        else jnp.float32
+
+    seg = SegmentorEx(
+        clip_type="CLIP", vit_type="ViT-B/16", model_type="Experimental",
+        name_path=os.path.join(REPO, "configs", "cls_potsdam.txt"),
+        ignore_residual=True, apply_sim_feat_up=True,
+        global_debias_factor=0.2,
+        apply_outlier_suppression=True, outlier_suppression_cfg={"top_k": 30},
+        apply_similarity_enhancement=True,
+        prob_thd=0.1, bg_idx=5, param_dtype=param_dtype,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(1, 3, IMG, IMG).astype(np.float32)
+    meta = [{"ori_shape": (IMG, IMG)}]
+
+    # compile + warmup
+    r = seg.predict(img, meta)[0]
+    np.asarray(r["pred_sem_seg"])
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        r = seg.predict(img, meta)[0]
+    np.asarray(r["pred_sem_seg"])
+    elapsed = time.perf_counter() - t0
+    return REPEATS / elapsed
+
+
+def measure_cpu_reference() -> float:
+    """Time the reference's own torch modules on one 512^2 slide inference."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from ref_shim import load_reference_module, load_reference_transformer
+
+    tmod = load_reference_transformer()
+    ups = load_reference_module("upsamplers")
+    os_mod = load_reference_module("outlier_suppression")
+    sim_mod = load_reference_module("similarity_enhancement")
+
+    class _Shim:
+        @staticmethod
+        def apply(inp, filt):
+            return ups.adaptive_conv_py_simple(inp, filt)
+
+    ups.AdaptiveConv = _Shim
+
+    torch.manual_seed(0)
+    vit = tmod.VisionTransformer(image_size=224, patch_size=16, width=768,
+                                 layers=12, heads=12, mlp_ratio=4.0, output_dim=512)
+    vit.similarity_enhancer = sim_mod.SimilarityEnhancementModule(1.0, 1.0, True)
+    vit.outlier_suppressor = os_mod.OutlierSuppressionModule(top_k=30)
+    jbu = ups.JBUOne(512)
+    vit.eval()
+    jbu.eval()
+    qf = torch.randn(6, 512)
+    qf = qf / qf.norm(dim=-1, keepdim=True)
+
+    rng = np.random.RandomState(0)
+    img = torch.from_numpy(rng.randn(1, 3, IMG, IMG).astype(np.float32))
+
+    def one_image():
+        with torch.no_grad():
+            stride, crop = 112, 224
+            grids = (IMG - crop + stride - 1) // stride + 1
+            preds = torch.zeros(1, 6, IMG, IMG)
+            count = torch.zeros(1, 1, IMG, IMG)
+            for hi in range(grids):
+                for wi in range(grids):
+                    y1, x1 = hi * stride, wi * stride
+                    y2, x2 = min(y1 + crop, IMG), min(x1 + crop, IMG)
+                    y1, x1 = max(y2 - crop, 0), max(x2 - crop, 0)
+                    tile = img[:, :, y1:y2, x1:x2]
+                    cls_tok, feats = vit(tile, model_type="Experimental",
+                                         ignore_residual=True, output_cls_token=True,
+                                         apply_similarity_enhancement=True)
+                    cls_tok = cls_tok / cls_tok.norm(dim=-1, keepdim=True)
+                    fn = feats / feats.norm(dim=-1, keepdim=True)
+                    s = (fn * cls_tok.unsqueeze(1)).sum(-1)
+                    feats = feats - cls_tok.unsqueeze(1) * (s.unsqueeze(-1) * 0.2)
+                    fmap = feats.permute(0, 2, 1).view(1, 512, 14, 14)
+                    up = jbu(fmap, tile)
+                    up = up.view(1, 512, crop * crop).permute(0, 2, 1)
+                    up = up / up.norm(dim=-1, keepdim=True)
+                    logits = (up @ qf.T).permute(0, 2, 1).reshape(1, 6, crop, crop)
+                    preds[:, :, y1:y2, x1:x2] += logits
+                    count[:, :, y1:y2, x1:x2] += 1
+            return preds / count
+
+    one_image()  # warmup
+    t0 = time.perf_counter()
+    one_image()
+    return 1.0 / (time.perf_counter() - t0)
+
+
+def get_cpu_reference() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["tiles512_per_sec"]
+    tps = measure_cpu_reference()
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    with open(CACHE, "w") as f:
+        json.dump({"tiles512_per_sec": tps,
+                   "note": "reference torch modules, fp32, single CPU process"},
+                  f, indent=2)
+    return tps
+
+
+def main():
+    cpu = get_cpu_reference()
+    tps = measure_tpu()
+    print(json.dumps({
+        "metric": "512^2 tiles/sec/chip (ViT-B/16)",
+        "value": round(tps, 4),
+        "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,18 +55,25 @@ def unfold(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
 
 
 def adaptive_conv(inp: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
-    """Spatially-varying convolution (reference adaptive_conv_py_simple).
+    """Spatially-varying convolution (reference adaptive_conv_py_simple math).
 
     inp: [B, C, H1, W1]; filters: [B, H2, W2, f, f] with H2 = H1 - f + 1.
-    Returns [B, C, H2, W2]. fp32 accumulation on the MXU.
+    Returns [B, C, H2, W2].
+
+    NOT an unfold+einsum: materialising the f^2 window axis at feature
+    resolution is ~12 GB/tile at 224^2x512 (exactly why the reference needs a
+    CUDA op, reference upsamplers.py:8-11). Instead: f^2 shifted
+    multiply-accumulates that XLA fuses into one VPU loop with O(BCHW) live
+    memory. A Pallas kernel provides the tuned fast path
+    (rs_ov.kernels.adaptive_conv).
     """
     b, h2, w2, f1, f2 = filters.shape
     assert f1 == f2
-    t_filters = filters.reshape(b, h2, w2, f1 * f2)
-    patches = unfold(inp, f1)  # [B, C, f*f, H2, W2]
-    out = jnp.einsum("bhwf,bcfhw->bchw", t_filters.astype(jnp.float32),
-                     patches.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+    out = jnp.zeros(inp.shape[:2] + (h2, w2), jnp.float32)
+    for u in range(f1):
+        for v in range(f2):
+            w_uv = filters[:, :, :, u, v].astype(jnp.float32)[:, None]  # [B,1,H2,W2]
+            out = out + w_uv * inp[:, :, u:u + h2, v:v + w2].astype(jnp.float32)
     return out.astype(inp.dtype)
 
 
@@ -104,15 +111,15 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
     gb, _, gh, gw = guidance.shape
 
     proj = _proj2(guidance, p["range_proj"]).astype(jnp.float32)  # [B, key, GH, GW]
-    key_dim = proj.shape[1]
     proj_padded = reflect_pad_2d(proj, radius)
-    queries = unfold(proj_padded, diameter)  # [B, key, d*d, GH, GW]
-    queries = queries.transpose(0, 1, 3, 4, 2)  # [B, key, GH, GW, d*d]
-
+    # range logits: per window offset, <proj(x), proj(x+offset)> — computed as
+    # d^2 shifted channel reductions (no [B,key,d^2,GH,GW] materialisation;
+    # matches reference upsamplers.py:230-238 unfold+einsum math)
     pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
-    logits = jnp.einsum("bchwp,bchw->bphw", queries, proj,
-                        preferred_element_type=jnp.float32) * pos_temp
-    range_kernel = jax.nn.softmax(logits, axis=1)  # [B, d*d, GH, GW]
+    logits = jnp.stack(
+        [jnp.sum(proj_padded[:, :, u:u + gh, v:v + gw] * proj, axis=1)
+         for u in range(diameter) for v in range(diameter)], axis=1)
+    range_kernel = jax.nn.softmax(logits * pos_temp, axis=1)  # [B, d*d, GH, GW]
 
     combined = range_kernel * _spatial_kernel(diameter, p["sigma_spatial"])
     combined = combined / jnp.clip(jnp.sum(combined, axis=1, keepdims=True), 1e-7, None)

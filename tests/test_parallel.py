@@ -1,0 +1,163 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: tp/dp sharded training step,
+collective losses, sharded inference, metric psum."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rs_ov.core.config import CLIPConfig, TextConfig, VisionConfig
+from rs_ov.core.params import init_clip_params
+from rs_ov.parallel.mesh import make_mesh
+from rs_ov.parallel.sharding import shard_params
+from rs_ov.train.losses import clip_loss, siglip_loss
+from rs_ov.train.step import encode_image_train, encode_text_train, make_clip_train_step
+
+TINY = CLIPConfig(
+    embed_dim=32,
+    vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                        output_dim=32, head_width=32),
+    text=TextConfig(context_length=16, vocab_size=128, width=32, heads=2,
+                    layers=2, output_dim=32),
+)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_clip_loss_gather_matches_global():
+    """all_gather formulation under shard_map == global formulation."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(0)
+    img = rng.randn(16, 8).astype(np.float32)
+    txt = rng.randn(16, 8).astype(np.float32)
+    img /= np.linalg.norm(img, axis=-1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.asarray(10.0)
+
+    global_loss = clip_loss(jnp.asarray(img), jnp.asarray(txt), scale)
+
+    def local_fn(i, t):
+        return clip_loss(i, t, scale, axis_name="data")[None]
+
+    sharded = shard_map(local_fn, mesh=mesh,
+                        in_specs=(P("data"), P("data")), out_specs=P("data"))
+    per_dev = sharded(jnp.asarray(img), jnp.asarray(txt))
+    np.testing.assert_allclose(np.asarray(per_dev), float(global_loss),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_siglip_ring_matches_global():
+    """ppermute ring == single-device loss on the concatenated batch."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(1)
+    img = rng.randn(16, 8).astype(np.float32)
+    txt = rng.randn(16, 8).astype(np.float32)
+    scale, bias = jnp.asarray(5.0), jnp.asarray(-2.0)
+
+    def local_fn(i, t):
+        return siglip_loss(i, t, scale, bias, axis_name="data")[None]
+
+    sharded = shard_map(local_fn, mesh=mesh,
+                        in_specs=(P("data"), P("data")), out_specs=P("data"))
+    per_dev = np.asarray(sharded(jnp.asarray(img), jnp.asarray(txt)))
+
+    # oracle: full pairwise matrix; per-shard loss sums its 2-row block over
+    # ALL texts (diag labels on own block, negatives elsewhere), /local_b
+    logits = 5.0 * img @ txt.T - 2.0
+    labels = 2.0 * np.eye(16) - 1.0
+    full = np.logaddexp(0.0, -labels * logits)  # softplus(-l*x)
+    for d in range(8):
+        rows = slice(2 * d, 2 * d + 2)
+        expect = full[rows].sum() / 2.0
+        np.testing.assert_allclose(per_dev[d], expect, rtol=1e-5)
+
+
+def test_sharded_train_step_runs_and_matches_single_device():
+    mesh = make_mesh(data=4, model=2)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    step, init_opt = make_clip_train_step(TINY, mesh)
+    import optax
+    opt_state = init_opt(params)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    texts = np.zeros((8, 16), np.int32)
+    for i in range(8):
+        n = rng.randint(3, 16)
+        texts[i, :n] = rng.randint(1, 127, size=n)
+        texts[i, n - 1] = 127
+    texts = jnp.asarray(texts)
+
+    sharded_params = shard_params(params, mesh)
+    new_params, _, loss = step(sharded_params, opt_state, images, texts)
+
+    # single-device oracle
+    def loss_fn(p):
+        img_f = encode_image_train(p, images, TINY, remat=False)
+        txt_f = encode_text_train(p, texts, TINY, remat=False)
+        return clip_loss(img_f, txt_f, jnp.exp(p["logit_scale"]))
+
+    expect = loss_fn(params)
+    np.testing.assert_allclose(float(loss), float(expect), atol=1e-4, rtol=1e-4)
+    # params actually moved
+    assert not np.allclose(np.asarray(new_params["visual"]["proj"]),
+                           np.asarray(params["visual"]["proj"]))
+
+
+def test_sharded_inference_matches_single_device():
+    """Tile batch sharded over 'data' reproduces unsharded predictions."""
+    from rs_ov.core.params import init_vision_params
+    from rs_ov.nn.vit import VitCallConfig, vit_forward
+
+    vcfg = TINY.vision
+    params = init_vision_params(jax.random.PRNGKey(1), vcfg)
+    call = VitCallConfig(model_type="Experimental", ignore_residual=True,
+                         output_cls_token=True,
+                         apply_similarity_enhancement=True,
+                         apply_outlier_suppression=True, outlier_top_k=2)
+    tiles = jnp.asarray(np.random.RandomState(2).randn(8, 3, 32, 32)
+                        .astype(np.float32))
+
+    pooled_ref, tokens_ref = vit_forward(params, tiles, vcfg, call)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded_tiles = jax.device_put(tiles, NamedSharding(mesh, P("data")))
+    fn = jax.jit(lambda p, x: vit_forward(p, x, vcfg, call))
+    pooled, tokens = fn(params, sharded_tiles)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled_ref),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tokens), np.asarray(tokens_ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_metric_psum_reduction():
+    """Confusion-state reduction over the mesh == host-side sum."""
+    from jax.experimental.shard_map import shard_map
+    from rs_ov.evalsuite.metrics import IoUMetric, confusion_update
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(3)
+    states = np.stack([
+        confusion_update(rng.randint(0, 4, 100), rng.randint(0, 4, 100), 4)
+        for _ in range(8)
+    ]).astype(np.float32)
+
+    def reduce_fn(s):
+        return jax.lax.psum(s, "data")
+
+    reduced = shard_map(reduce_fn, mesh=mesh, in_specs=P("data"),
+                        out_specs=P())(jnp.asarray(states))
+    np.testing.assert_allclose(np.asarray(reduced)[0], states.sum(0), rtol=1e-6)
+
+    m = IoUMetric(4)
+    m.merge(states.sum(0))
+    r = m.compute()
+    assert 0 <= r["mIoU"] <= 100
