@@ -63,6 +63,13 @@ class VitCallConfig:
     apply_layer_fusion: bool = False
     layer_fusion_lambda: float = 0.5
     layer_fusion_threshold: float = 0.7
+    # SOM — Suppress Outlier Module (the reference's `apply_cos` hook,
+    # transformer.py:538 "Unused, kept for compatibility"; implemented here
+    # from SOM_IMPLEMENTATION.md / SOM_DETECTION_MODES.md)
+    apply_som: bool = False
+    som_consensus_threshold: float = 0.5
+    som_detection_mode: str = "both"
+    som_self_sufficiency_ratio: float = 1.0
     # NACLIP-family spatial bias
     gaussian_std: float = 1.0
 
@@ -166,8 +173,17 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
         )
 
     output = jnp.zeros_like(x)
+    qk_attn = None  # per-head qk attention of the FINAL block (for SOM)
     for i in range(last_n):
         blk = blocks[n_front + i]
+        if call.apply_som and i == last_n - 1:
+            from rs_ov.nn.attention import _bmm, _softmax32, qkv_projection
+
+            q, k, _ = qkv_projection(blk["attn"], layer_norm(x, blk["ln_1"]), heads)
+            scale = (vcfg.width // heads) ** -0.5
+            qk_attn = _softmax32(
+                _bmm(q.astype(jnp.float32), k.astype(jnp.float32)
+                     .transpose(0, 1, 3, 2)) * scale)  # [B, H, L, L]
         attn_out = custom_attn(
             blk["attn"], layer_norm(x, blk["ln_1"]),
             mode=call.model_type, heads=heads,
@@ -184,6 +200,17 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
         x, w_attn = _resblock(blk, x, heads, act, need_weights=call.apply_layer_fusion)
         if call.apply_layer_fusion:
             attn_acc = fuse_attention_ema(attn_acc, w_attn, call.layer_fusion_lambda)
+
+    if call.apply_som and qk_attn is not None:
+        from rs_ov.decontam.som import suppress_outlier_module
+
+        cls_part, patch_part = output[:, :1, :], output[:, 1:, :]
+        purified, _, _ = suppress_outlier_module(
+            patch_part, qk_attn, gh, gw,
+            consensus_threshold=call.som_consensus_threshold,
+            detection_mode=call.som_detection_mode,
+            self_sufficiency_ratio=call.som_self_sufficiency_ratio)
+        output = jnp.concatenate([cls_part, purified], axis=1)
 
     if call.apply_layer_fusion and call.apply_outlier_suppression and attn_acc is not None:
         output = layer_fusion_reweight(output, attn_acc, call.outlier_top_k)

@@ -100,6 +100,8 @@ class SegmentorEx:
                  similarity_enhancement_cfg: Optional[dict] = None,
                  apply_cross_tile_fusion: bool = False,
                  cross_tile_fusion_cfg: Optional[dict] = None,
+                 apply_som: bool = False,
+                 som_cfg: Optional[dict] = None,
                  result_dir: Optional[str] = None,
                  heatmap_dir: Optional[str] = None,
                  # framework-level knobs
@@ -109,6 +111,9 @@ class SegmentorEx:
                  param_dtype=None,
                  templates=OPENAI_IMAGENET_TEMPLATES,
                  tile_chunk: int = 0,
+                 gem_depth: int = 7,
+                 ss_attn_iter: int = 1,
+                 ss_attn_temp: Optional[float] = None,
                  seed: int = 0,
                  clip_config=None,  # explicit CLIPConfig (tests / custom arch)
                  device=None,  # accepted for API compat; placement is JAX's job
@@ -153,6 +158,9 @@ class SegmentorEx:
         sa_cfg = dict(enhancement_strength=0.1, min_self_attn_threshold=0.15,
                       mode="feature", top_k=10)
         sa_cfg.update(self_attn_enhancement_cfg or {})
+        som = dict(consensus_threshold=0.5, detection_mode="both",
+                   self_sufficiency_ratio=1.0)
+        som.update(som_cfg or {})
         self.call = VitCallConfig(
             model_type=model_type,
             ignore_residual=ignore_residual,
@@ -173,6 +181,10 @@ class SegmentorEx:
             apply_layer_fusion=apply_layer_fusion,
             layer_fusion_lambda=layer_fusion_lambda,
             layer_fusion_threshold=layer_fusion_threshold,
+            apply_som=apply_som,
+            som_consensus_threshold=som["consensus_threshold"],
+            som_detection_mode=som["detection_mode"],
+            som_self_sufficiency_ratio=som["self_sufficiency_ratio"],
         )
 
         self.ignore_residual = ignore_residual
@@ -192,6 +204,17 @@ class SegmentorEx:
         self.result_dir = result_dir
         self.heatmap_dir = heatmap_dir
         self.tile_chunk = tile_chunk
+        self.gem_depth = gem_depth
+        self.ss_attn_iter = ss_attn_iter
+        self.ss_attn_temp = ss_attn_temp
+        if model_type == "GEM" and (self.global_debias_factor != 0.0
+                                    or self.cls_token_lambda != 0.0
+                                    or apply_ctd):
+            # GEM returns patch tokens only (reference gem_utils.py:199); the
+            # CLS-dependent stages cannot run (the reference SegmentorEx would
+            # crash unpacking them — segmentor.py:309)
+            raise ValueError("model_type='GEM' is incompatible with "
+                             "global_debias/cls_token_lambda/CTD (no CLS token)")
 
         # ---- SimFeatUp upsampler ----
         self.apply_sim_feat_up = apply_sim_feat_up
@@ -264,10 +287,24 @@ class SegmentorEx:
 
     def _forward_tiles(self, params, tiles, grid_hw, pads, tile_hw):
         """tiles [T, 3, ch, cw] (padded) -> per-tile logits [T, Q, th, tw]."""
-        pooled, tokens = vit_forward(params["visual"], tiles, self.cfg.vision, self.call)
-        p32 = pooled.astype(jnp.float32)
-        cls_norm = p32 / jnp.maximum(jnp.linalg.norm(p32, axis=-1, keepdims=True), 1e-12)
-        cls_logits = cls_norm @ self.query_features.T  # [T, Q]
+        if self.model_type == "GEM":
+            from rs_ov.nn.gem import gem_vit_forward
+
+            tokens = gem_vit_forward(
+                params["visual"], tiles, self.cfg.vision, depth=self.gem_depth,
+                ss_attn_iter=self.ss_attn_iter, ss_attn_temp=self.ss_attn_temp,
+                ignore_residual=self.ignore_residual,
+                quick_gelu_act=self.cfg.quick_gelu)
+            t = tokens.shape[0]
+            cls_norm = jnp.zeros((t, tokens.shape[-1]), jnp.float32)
+            cls_logits = jnp.zeros((t, self.query_features.shape[0]), jnp.float32)
+        else:
+            pooled, tokens = vit_forward(params["visual"], tiles,
+                                         self.cfg.vision, self.call)
+            p32 = pooled.astype(jnp.float32)
+            cls_norm = p32 / jnp.maximum(
+                jnp.linalg.norm(p32, axis=-1, keepdims=True), 1e-12)
+            cls_logits = cls_norm @ self.query_features.T  # [T, Q]
 
         if self.apply_cross_tile_fusion:
             gh_p = tiles.shape[-2] // self.patch_size

@@ -115,6 +115,48 @@ def resize_bicubic_scaled(x: jnp.ndarray, out_hw: tuple[int, int],
 
 
 @functools.lru_cache(maxsize=None)
+def _bicubic_antialias_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """torch bicubic with antialias=True (used by GEM's pos-embed resampling,
+    reference gem/gem_utils.py:12-43). When downscaling, torch scales the
+    cubic kernel support by the scale factor and renormalises each row; when
+    upscaling it equals plain bicubic."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    scale = in_size / out_size
+    # torch's `-aa` path is the PIL resampling algorithm: kernel support
+    # widened by max(scale, 1), tap window [xmin, xmax) inside bounds,
+    # weights renormalised per row (aten UpSampleBicubic2d `-aa` kernels)
+    kscale = max(scale, 1.0)
+    support = 2.0 * kscale
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    a = -0.5  # the -aa kernels use the PIL bicubic constant, not -0.75
+
+    def cubic(x):
+        x = abs(x)
+        if x <= 1.0:
+            return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+        if x < 2.0:
+            return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+        return 0.0
+
+    for i in range(out_size):
+        center = scale * (i + 0.5)
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(in_size, int(center + support + 0.5))
+        vals = np.array([cubic((j - center + 0.5) / kscale)
+                         for j in range(xmin, xmax)])
+        w[i, xmin:xmax] = vals / vals.sum()
+    return w.astype(np.float32)
+
+
+def resize_bicubic_antialias(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(x, size, mode='bicubic', antialias=True)."""
+    h, w = x.shape[-2], x.shape[-1]
+    return _apply_separable(x, _bicubic_antialias_matrix(h, out_hw[0]),
+                            _bicubic_antialias_matrix(w, out_hw[1]))
+
+
+@functools.lru_cache(maxsize=None)
 def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) averaging matrix for torch adaptive_avg_pool2d."""
     w = np.zeros((out_size, in_size), dtype=np.float32)
