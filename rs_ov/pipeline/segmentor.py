@@ -108,6 +108,8 @@ class SegmentorEx:
                  checkpoint_path: Optional[str] = None,
                  params: Optional[dict] = None,
                  upsampler_params: Optional[dict] = None,
+                 query_features=None,
+                 blip_vocab_path: Optional[str] = None,
                  param_dtype=None,
                  templates=OPENAI_IMAGENET_TEMPLATES,
                  tile_chunk: int = 0,
@@ -122,32 +124,58 @@ class SegmentorEx:
         self.clip_type = clip_type
         self.vit_type = vit_type
         self.model_type = model_type
-        self.cfg = clip_config if clip_config is not None \
-            else get_model_config(_resolve_arch(clip_type, vit_type))
-        self.patch_size = self.cfg.vision.patch_size
+        self.is_blip = clip_type == "BLIP"
 
         if param_dtype is None:
             param_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.param_dtype = param_dtype
 
-        if params is not None:
-            self.params = cast_floating(params, param_dtype)
-        elif checkpoint_path:
-            sd = load_torch_state_dict(checkpoint_path)
-            self.params = cast_floating(clip_params_from_state_dict(sd), param_dtype)
+        if self.is_blip:
+            from rs_ov.nn.blip import (BlipConfig, blip_params_from_state_dict,
+                                       init_blip_params)
+
+            self.cfg = clip_config if clip_config is not None else (
+                BlipConfig.base(slide_crop) if "B" in vit_type
+                else BlipConfig.large(slide_crop))
+            self.patch_size = self.cfg.vision.patch_size
+            if params is not None:
+                self.params = cast_floating(params, param_dtype)
+            elif checkpoint_path:
+                sd = load_torch_state_dict(checkpoint_path)
+                self.params = cast_floating(blip_params_from_state_dict(sd),
+                                            param_dtype)
+            else:
+                self.params = init_blip_params(jax.random.PRNGKey(seed), self.cfg,
+                                               dtype=param_dtype)
         else:
-            # zero-egress environment: no implicit weight downloads — random
-            # init keeps the full pipeline runnable/benchmarkable
-            self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg,
-                                           dtype=param_dtype)
+            self.cfg = clip_config if clip_config is not None \
+                else get_model_config(_resolve_arch(clip_type, vit_type))
+            self.patch_size = self.cfg.vision.patch_size
+            if params is not None:
+                self.params = cast_floating(params, param_dtype)
+            elif checkpoint_path:
+                sd = load_torch_state_dict(checkpoint_path)
+                self.params = cast_floating(clip_params_from_state_dict(sd),
+                                            param_dtype)
+            else:
+                # zero-egress environment: no implicit weight downloads —
+                # random init keeps the pipeline runnable/benchmarkable
+                self.params = init_clip_params(jax.random.PRNGKey(seed), self.cfg,
+                                               dtype=param_dtype)
 
         # ---- text side: prompt-ensemble query features (frozen) ----
         query_words, self.query_idx = get_cls_idx(name_path)
         self.num_queries = len(query_words)
         self.num_classes = max(self.query_idx) + 1
-        self.query_features = build_text_classifier(
-            self.params["text"], query_words, self.cfg.text,
-            quick_gelu=self.cfg.quick_gelu, templates=templates)  # [Q, D] fp32
+        if query_features is not None:
+            self.query_features = jnp.asarray(query_features, jnp.float32)
+        elif self.is_blip:
+            self.query_features = self._build_blip_classifier(
+                query_words, templates, blip_vocab_path)
+        else:
+            self.query_features = build_text_classifier(
+                self.params["text"], query_words, self.cfg.text,
+                quick_gelu=self.cfg.quick_gelu, templates=templates)  # [Q, D] fp32
         self._onehot = jnp.asarray(query_onehot(self.query_idx))
 
         # ---- static call config for the ViT ----
@@ -165,7 +193,7 @@ class SegmentorEx:
             model_type=model_type,
             ignore_residual=ignore_residual,
             output_cls_token=True,
-            quick_gelu=self.cfg.quick_gelu,
+            quick_gelu=getattr(self.cfg, "quick_gelu", False),
             apply_similarity_enhancement=apply_similarity_enhancement,
             similarity_weight=sim_cfg["similarity_weight"],
             similarity_temperature=sim_cfg["temperature"],
@@ -207,13 +235,13 @@ class SegmentorEx:
         self.gem_depth = gem_depth
         self.ss_attn_iter = ss_attn_iter
         self.ss_attn_temp = ss_attn_temp
-        if model_type == "GEM" and (self.global_debias_factor != 0.0
-                                    or self.cls_token_lambda != 0.0
-                                    or apply_ctd):
-            # GEM returns patch tokens only (reference gem_utils.py:199); the
-            # CLS-dependent stages cannot run (the reference SegmentorEx would
-            # crash unpacking them — segmentor.py:309)
-            raise ValueError("model_type='GEM' is incompatible with "
+        if (model_type == "GEM" or self.is_blip) and (
+                self.global_debias_factor != 0.0
+                or self.cls_token_lambda != 0.0 or apply_ctd):
+            # GEM/BLIP return patch tokens only (reference gem_utils.py:199,
+            # segmentor.py:289-292); the CLS-dependent stages cannot run (the
+            # reference SegmentorEx would crash unpacking them — :309)
+            raise ValueError("GEM/BLIP paths are incompatible with "
                              "global_debias/cls_token_lambda/CTD (no CLS token)")
 
         # ---- SimFeatUp upsampler ----
@@ -285,8 +313,51 @@ class SegmentorEx:
             logits = logits[:, :, tp:tp + tile_hw[0], l:l + tile_hw[1]]
         return logits
 
+    def _build_blip_classifier(self, query_words, templates, vocab_path):
+        """Prompt-ensemble queries through the BLIP BERT tower
+        (reference segmentor.py:160-166: CLS pool -> text_proj -> normalise,
+        then the usual per-word prompt mean + renormalise)."""
+        from rs_ov.nn.blip import blip_encode_text
+        from rs_ov.text.wordpiece import WordPieceTokenizer
+
+        if vocab_path is None:
+            raise ValueError(
+                "clip_type='BLIP' needs blip_vocab_path (a BERT vocab.txt) or "
+                "precomputed query_features — no implicit downloads")
+        tok = WordPieceTokenizer(vocab_path)
+        encode = jax.jit(lambda p, ids, mask: blip_encode_text(
+            p, ids, mask, self.cfg, normalize=True))
+        feats = []
+        for qw in query_words:
+            batch = tok([t.format(qw) for t in templates], max_length=35)
+            f = encode(self.params, jnp.asarray(batch["input_ids"]),
+                       jnp.asarray(batch["attention_mask"])).astype(jnp.float32)
+            mean = f.mean(axis=0)
+            mean = mean / jnp.maximum(jnp.linalg.norm(mean), 1e-12)
+            feats.append(mean[None])
+        return jnp.concatenate(feats, axis=0)
+
     def _forward_tiles(self, params, tiles, grid_hw, pads, tile_hw):
         """tiles [T, 3, ch, cw] (padded) -> per-tile logits [T, Q, th, tw]."""
+        if self.is_blip:
+            from rs_ov.nn.blip import blip_encode_image
+            from rs_ov.utils.resize import resize_bilinear
+
+            s = self.cfg.vision.image_size
+            # reference resizes the IMAGE to the trained resolution instead of
+            # interpolating the pos-embed (segmentor.py:290)
+            tiles = resize_bilinear(tiles, (s, s))
+            tokens = blip_encode_image(params, tiles, self.cfg,
+                                       ignore_residual=self.ignore_residual)
+            t = tokens.shape[0]
+            cls_norm = jnp.zeros((t, tokens.shape[-1]), jnp.float32)
+            cls_logits = jnp.zeros((t, self.query_features.shape[0]), jnp.float32)
+            gh_p = s // self.patch_size
+            gw_p = s // self.patch_size
+            if self.apply_cross_tile_fusion:
+                tokens = fuse_tile_grid(tokens, grid_hw, (gh_p, gw_p), self.ctf_cfg)
+            return self._decontam_and_classify(tokens, cls_norm, cls_logits,
+                                               tiles, (gh_p, gw_p), pads, tile_hw)
         if self.model_type == "GEM":
             from rs_ov.nn.gem import gem_vit_forward
 
