@@ -98,40 +98,32 @@ def measure_cpu_reference() -> float:
     qf = qf / qf.norm(dim=-1, keepdim=True)
 
     rng = np.random.RandomState(0)
-    img = torch.from_numpy(rng.randn(1, 3, IMG, IMG).astype(np.float32))
+    crop = 224
+    tile = torch.from_numpy(rng.randn(1, 3, crop, crop).astype(np.float32))
+    # a 512^2 image at stride 112 is exactly 16 such tile forwards
+    # (reference segmentor.py:411-412), so time one tile and scale
+    tiles_per_image = 16
 
-    def one_image():
+    def one_tile():
         with torch.no_grad():
-            stride, crop = 112, 224
-            grids = (IMG - crop + stride - 1) // stride + 1
-            preds = torch.zeros(1, 6, IMG, IMG)
-            count = torch.zeros(1, 1, IMG, IMG)
-            for hi in range(grids):
-                for wi in range(grids):
-                    y1, x1 = hi * stride, wi * stride
-                    y2, x2 = min(y1 + crop, IMG), min(x1 + crop, IMG)
-                    y1, x1 = max(y2 - crop, 0), max(x2 - crop, 0)
-                    tile = img[:, :, y1:y2, x1:x2]
-                    cls_tok, feats = vit(tile, model_type="Experimental",
-                                         ignore_residual=True, output_cls_token=True,
-                                         apply_similarity_enhancement=True)
-                    cls_tok = cls_tok / cls_tok.norm(dim=-1, keepdim=True)
-                    fn = feats / feats.norm(dim=-1, keepdim=True)
-                    s = (fn * cls_tok.unsqueeze(1)).sum(-1)
-                    feats = feats - cls_tok.unsqueeze(1) * (s.unsqueeze(-1) * 0.2)
-                    fmap = feats.permute(0, 2, 1).view(1, 512, 14, 14)
-                    up = jbu(fmap, tile)
-                    up = up.view(1, 512, crop * crop).permute(0, 2, 1)
-                    up = up / up.norm(dim=-1, keepdim=True)
-                    logits = (up @ qf.T).permute(0, 2, 1).reshape(1, 6, crop, crop)
-                    preds[:, :, y1:y2, x1:x2] += logits
-                    count[:, :, y1:y2, x1:x2] += 1
-            return preds / count
+            cls_tok, feats = vit(tile, model_type="Experimental",
+                                 ignore_residual=True, output_cls_token=True,
+                                 apply_similarity_enhancement=True)
+            cls_tok = cls_tok / cls_tok.norm(dim=-1, keepdim=True)
+            fn = feats / feats.norm(dim=-1, keepdim=True)
+            s = (fn * cls_tok.unsqueeze(1)).sum(-1)
+            feats = feats - cls_tok.unsqueeze(1) * (s.unsqueeze(-1) * 0.2)
+            fmap = feats.permute(0, 2, 1).view(1, 512, 14, 14)
+            up = jbu(fmap, tile)
+            up = up.view(1, 512, crop * crop).permute(0, 2, 1)
+            up = up / up.norm(dim=-1, keepdim=True)
+            return (up @ qf.T).permute(0, 2, 1).reshape(1, 6, crop, crop)
 
-    one_image()  # warmup
+    one_tile()  # warmup
     t0 = time.perf_counter()
-    one_image()
-    return 1.0 / (time.perf_counter() - t0)
+    one_tile()
+    t_tile = time.perf_counter() - t0
+    return 1.0 / (tiles_per_image * t_tile)
 
 
 def get_cpu_reference() -> float:

@@ -19,6 +19,8 @@ import numpy as np
 from rs_ov.core.config import CLIPConfig
 
 __all__ = [
+    "save_pytree",
+    "load_pytree",
     "load_torch_state_dict",
     "clip_params_from_state_dict",
     "vision_params_from_state_dict",
@@ -26,6 +28,49 @@ __all__ = [
     "jbu_params_from_state_dict",
     "infer_clip_config_from_state_dict",
 ]
+
+
+def save_pytree(tree, path: str) -> None:
+    """Save a param pytree to .npz (portable write path; the reference has no
+    checkpoint-writing at all — SURVEY.md §5). Keys are '/'-joined paths,
+    list indices encoded as '#i'."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(f"{prefix}/#{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", tree)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str, dtype=None):
+    """Inverse of save_pytree."""
+    data = np.load(path)
+    root: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        arr = data[key]
+        node[parts[-1]] = jnp.asarray(arr, dtype) if (
+            dtype and np.issubdtype(arr.dtype, np.floating)) else jnp.asarray(arr)
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(k.startswith("#") for k in node):
+                return [listify(node[f"#{i}"]) for i in range(len(node))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
 
 
 def _np(x) -> np.ndarray:
