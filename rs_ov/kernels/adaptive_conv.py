@@ -5,15 +5,17 @@ external ``featup`` CUDA op; math = adaptive_conv_py_simple :14-25):
 
     out[b, c, h, w] = sum_{u,v} filters[b, h, w, u, v] * inp[b, c, h+u, w+v]
 
-The XLA formulation (rs_ov.upsample.jbu.adaptive_conv) re-reads the input
-d^2 (=121 for radius 5) times from HBM. This kernel DMAs one overlapping
-(channel-block x row-tile) window of the input into VMEM and performs all
-d^2 shifted multiply-accumulates on-chip — input bytes cross HBM once per
-(C-block, row-tile), an ~d^2x cut in traffic on the hottest non-attention op.
+The XLA formulation re-reads the input d^2 (=121 for radius 5) times from
+HBM (and an unrolled form OOMs by materialising d^2 temps). Here each
+program keeps one channel-block of the (padded) input resident in VMEM and
+streams the d^2 filter tap planes through a double-buffered DMA pipeline —
+input and filters each cross HBM once per channel-block, accumulation stays
+in fp32 VMEM scratch.
 
-Windows overlap between row-tiles, which BlockSpecs cannot express, so the
-operands stay in HBM (memory_space=ANY) and the kernel runs its own async
-copies (guide: Async DMA / run_scoped patterns).
+Layout notes: the input block spans the full (H+d-1, W+d-1) spatial extent so
+the shifted window reads are static in-VMEM slices (Mosaic handles the
+misaligned starts); HBM DMAs only ever move full tap planes, which keeps
+every DMA shape tiling-aligned.
 """
 
 from __future__ import annotations
@@ -28,46 +30,30 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["adaptive_conv_pallas"]
 
 
-def _pick_tiles(c: int, h: int, wp: int, w: int, d: int):
-    c_block = c
-    while c_block > 8 and c % c_block != 0:
-        c_block //= 2
-    rows = h
-    def footprint(cb, rb):
-        return 4 * (cb * (rb + d - 1) * wp + d * d * rb * w + 2 * cb * rb * w)
-    while footprint(c_block, rows) > 8 * 1024 * 1024 and c_block > 8:
-        c_block //= 2
-    while footprint(c_block, rows) > 8 * 1024 * 1024 and rows > 4:
-        rows //= 2
-    while h % rows != 0:
-        rows //= 2
-    return c_block, rows
-
-
-def _kernel(inp_hbm, filt_hbm, out_ref, inp_vmem, filt_vmem, sems,
-            *, diameter: int, rows: int, w: int, wp: int, c_block: int):
+def _kernel(filt_hbm, inp_ref, out_ref, acc_ref, filt_vmem, sems,
+            *, diameter: int, h: int, w: int, c_block: int):
     bi = pl.program_id(0)
-    ci = pl.program_id(1)
-    hi = pl.program_id(2)
-    r0 = hi * rows
+    n_taps = diameter * diameter
 
-    inp_dma = pltpu.make_async_copy(
-        inp_hbm.at[bi, pl.ds(ci * c_block, c_block), pl.ds(r0, rows + diameter - 1), :],
-        inp_vmem, sems.at[0])
-    filt_dma = pltpu.make_async_copy(
-        filt_hbm.at[bi, :, pl.ds(r0, rows), :], filt_vmem, sems.at[1])
-    inp_dma.start()
-    filt_dma.start()
-    inp_dma.wait()
-    filt_dma.wait()
+    def tap_dma(slot, tap_idx):
+        return pltpu.make_async_copy(
+            filt_hbm.at[bi, tap_idx], filt_vmem.at[slot], sems.at[slot])
 
-    acc = jnp.zeros((c_block, rows, w), jnp.float32)
-    for u in range(diameter):
-        for v in range(diameter):
-            tap = filt_vmem[u * diameter + v, :, :].astype(jnp.float32)
-            patch = inp_vmem[:, u:u + rows, v:v + w].astype(jnp.float32)
-            acc = acc + tap[None, :, :] * patch
-    out_ref[0] = acc.astype(out_ref.dtype)
+    tap_dma(0, 0).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # static unroll: VMEM window reads need static (possibly misaligned)
+    # offsets — Mosaic cannot prove alignment for dynamic lane starts
+    for t in range(n_taps):
+        slot = t % 2
+        if t + 1 < n_taps:
+            tap_dma((t + 1) % 2, t + 1).start()
+        tap_dma(slot, t).wait()
+        u, v = t // diameter, t % diameter
+        tap = filt_vmem[slot, :h, :w].astype(jnp.float32)  # [h, w]
+        patch = inp_ref[0, :, u:u + h, v:v + w].astype(jnp.float32)
+        acc_ref[:] = acc_ref[:] + tap[None, :, :] * patch
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -80,27 +66,38 @@ def adaptive_conv_pallas(inp: jnp.ndarray, filters: jnp.ndarray,
     d = d1
 
     filt_t = filters.reshape(b, h, w, d * d).transpose(0, 3, 1, 2)  # [B, d*d, H, W]
+    # manual HBM->VMEM DMAs require tiling-aligned plane shapes: pad the tap
+    # planes to (8, 128) multiples; the kernel reads back the [:h, :w] window
+    hpad = -(-h // 8) * 8
+    wpad = -(-w // 128) * 128
+    if (hpad, wpad) != (h, w):
+        filt_t = jnp.pad(filt_t, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w)))
 
-    c_block, rows = _pick_tiles(c, h, wp, w, d)
-    grid = (b, c // c_block, h // rows)
+    # channel block sized so inp block + fp32 acc + out fit comfortably
+    c_block = c
+    def footprint(cb):
+        return cb * hp * wp * inp.dtype.itemsize + 4 * cb * h * w \
+            + cb * h * w * inp.dtype.itemsize
+    while c_block > 8 and (c % c_block != 0 or footprint(c_block) > 9 * 1024 * 1024):
+        c_block //= 2
 
-    kernel = functools.partial(_kernel, diameter=d, rows=rows, w=w, wp=wp,
-                               c_block=c_block)
+    grid = (b, c // c_block)
+    kernel = functools.partial(_kernel, diameter=d, h=h, w=w, c_block=c_block)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), inp.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # filters stay in HBM
+            pl.BlockSpec((1, c_block, hp, wp), lambda bi, ci: (bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c_block, rows, w),
-                               lambda bi, ci, hi: (bi, ci, hi, 0),
+        out_specs=pl.BlockSpec((1, c_block, h, w), lambda bi, ci: (bi, ci, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c_block, rows + d - 1, wp), inp.dtype),
-            pltpu.VMEM((d * d, rows, w), filters.dtype),
+            pltpu.VMEM((c_block, h, w), jnp.float32),
+            pltpu.VMEM((2, hpad, wpad), filters.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(inp, filt_t)
+    )(filt_t, inp)

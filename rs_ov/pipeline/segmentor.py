@@ -356,8 +356,8 @@ class SegmentorEx:
             gw_p = s // self.patch_size
             if self.apply_cross_tile_fusion:
                 tokens = fuse_tile_grid(tokens, grid_hw, (gh_p, gw_p), self.ctf_cfg)
-            return self._decontam_and_classify(tokens, cls_norm, cls_logits,
-                                               tiles, (gh_p, gw_p), pads, tile_hw)
+            return self._chunked_decontam(tokens, cls_norm, cls_logits,
+                                          tiles, (gh_p, gw_p), pads, tile_hw)
         if self.model_type == "GEM":
             from rs_ov.nn.gem import gem_vit_forward
 
@@ -384,8 +384,40 @@ class SegmentorEx:
 
         gh_p = tiles.shape[-2] // self.patch_size
         gw_p = tiles.shape[-1] // self.patch_size
-        return self._decontam_and_classify(tokens, cls_norm, cls_logits, tiles,
-                                           (gh_p, gw_p), pads, tile_hw)
+        return self._chunked_decontam(tokens, cls_norm, cls_logits, tiles,
+                                      (gh_p, gw_p), pads, tile_hw)
+
+    def _chunked_decontam(self, tokens, cls_norm, cls_logits, tiles,
+                          grid_p, pads, tile_hw):
+        """Run decontam+JBU+classify in tile chunks via lax.map — the 16x
+        upsample holds several [c, 512, 224, 224] fp32 temps per chunk, so
+        bounding the chunk bounds peak HBM while the ViT still runs fully
+        batched."""
+        t = tokens.shape[0]
+        chunk = self.tile_chunk or (4 if self.apply_sim_feat_up else 0)
+        if not chunk or t <= chunk:
+            return self._decontam_and_classify(tokens, cls_norm, cls_logits,
+                                               tiles, grid_p, pads, tile_hw)
+        pad = (-t) % chunk
+        if pad:
+            def pad0(x):
+                return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            tokens, cls_norm, cls_logits, tiles = map(
+                pad0, (tokens, cls_norm, cls_logits, tiles))
+        n_chunks = tokens.shape[0] // chunk
+
+        def reshape(x):
+            return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+        def body(args):
+            tok, cn, cl, ti = args
+            return self._decontam_and_classify(tok, cn, cl, ti, grid_p,
+                                               pads, tile_hw)
+
+        out = jax.lax.map(body, (reshape(tokens), reshape(cls_norm),
+                                 reshape(cls_logits), reshape(tiles)))
+        out = out.reshape((n_chunks * chunk,) + out.shape[2:])
+        return out[:t]
 
     def _build_image_fn(self, h_img: int, w_img: int, ori_shape: tuple[int, int]):
         """Compile the full slide-inference program for one image geometry."""

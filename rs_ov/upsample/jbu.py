@@ -62,18 +62,30 @@ def adaptive_conv(inp: jnp.ndarray, filters: jnp.ndarray) -> jnp.ndarray:
 
     NOT an unfold+einsum: materialising the f^2 window axis at feature
     resolution is ~12 GB/tile at 224^2x512 (exactly why the reference needs a
-    CUDA op, reference upsamplers.py:8-11). Instead: f^2 shifted
-    multiply-accumulates that XLA fuses into one VPU loop with O(BCHW) live
-    memory. A Pallas kernel provides the tuned fast path
-    (rs_ov.kernels.adaptive_conv).
+    CUDA op, reference upsamplers.py:8-11). On TPU this dispatches to the
+    Pallas kernel (rs_ov.kernels.adaptive_conv — input crosses HBM once per
+    VMEM tile); elsewhere a sequential fori_loop of shifted multiply-adds
+    keeps live memory at O(BCHW) (an unrolled loop makes XLA materialise f^2
+    temps and OOM).
     """
     b, h2, w2, f1, f2 = filters.shape
     assert f1 == f2
-    out = jnp.zeros(inp.shape[:2] + (h2, w2), jnp.float32)
-    for u in range(f1):
-        for v in range(f2):
-            w_uv = filters[:, :, :, u, v].astype(jnp.float32)[:, None]  # [B,1,H2,W2]
-            out = out + w_uv * inp[:, :, u:u + h2, v:v + w2].astype(jnp.float32)
+    if jax.default_backend() not in ("cpu",):
+        from rs_ov.kernels.adaptive_conv import adaptive_conv_pallas
+
+        return adaptive_conv_pallas(inp, filters)
+
+    c = inp.shape[1]
+    filt = filters.reshape(b, h2, w2, f1 * f2).astype(jnp.float32)
+
+    def body(i, acc):
+        u, v = i // f1, i % f1
+        patch = jax.lax.dynamic_slice(inp, (0, 0, u, v), (b, c, h2, w2))
+        w_i = jax.lax.dynamic_slice_in_dim(filt, i, 1, axis=3)[..., 0]  # [B,H,W]
+        return acc + w_i[:, None] * patch.astype(jnp.float32)
+
+    out = jax.lax.fori_loop(0, f1 * f2, body,
+                            jnp.zeros((b, c, h2, w2), jnp.float32))
     return out.astype(inp.dtype)
 
 
