@@ -15,10 +15,11 @@ __all__ = ["preprocess_image", "load_image", "load_annotation"]
 
 
 def preprocess_image(img_rgb: np.ndarray) -> np.ndarray:
-    """HWC uint8/float RGB -> CHW float32 normalised."""
-    x = img_rgb.astype(np.float32)
-    x = (x - PREPROC_MEAN) / PREPROC_STD
-    return np.ascontiguousarray(x.transpose(2, 0, 1))
+    """HWC uint8/float RGB -> CHW float32 normalised (native OpenMP path when
+    the C++ helper is built, numpy otherwise — rs_ov/native)."""
+    from rs_ov import native
+
+    return native.normalize_hwc_to_chw(img_rgb, PREPROC_MEAN, PREPROC_STD)
 
 
 def load_image(path: str) -> np.ndarray:
