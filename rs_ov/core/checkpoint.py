@@ -27,6 +27,7 @@ __all__ = [
     "text_params_from_state_dict",
     "jbu_params_from_state_dict",
     "infer_clip_config_from_state_dict",
+    "vision_params_from_big_vision_npz",
 ]
 
 
@@ -199,6 +200,100 @@ def infer_clip_config_from_state_dict(sd: Mapping[str, np.ndarray],
                         heads=heads, layers=t_layers, output_dim=embed_dim),
         quick_gelu=quick_gelu,
     )
+
+
+# ---------------------------------------------------------------------------
+# big_vision JAX .npz checkpoints (the reference loads SigLIP-style npz via
+# open_clip/big_vision.py:9; here the ViT weights map natively — they were
+# JAX arrays to begin with)
+# ---------------------------------------------------------------------------
+
+def vision_params_from_big_vision_npz(path: str, dtype=jnp.float32) -> dict:
+    """Map a big_vision ViT (params/img/... naming) to an rs_ov vision pytree.
+
+    Supports classic ViT layout: embedding conv, cls token (zeros if the
+    source is a pooled SigLIP tower without one), posembed, encoderblocks
+    with fused-qkv reconstruction, encoder_norm as ln_post. The projection
+    head ('head/kernel' or identity) maps to `proj`.
+    """
+    w = np.load(path)
+
+    def find(*names):
+        for n in names:
+            for prefix in ("params/img/", "img/", ""):
+                key = prefix + n
+                if key in w:
+                    return w[key]
+        raise KeyError(f"none of {names} in {path}")
+
+    emb_k = find("embedding/kernel")  # [ph, pw, 3, width]
+    width = emb_k.shape[-1]
+    conv1 = jnp.asarray(emb_k.transpose(3, 2, 0, 1), dtype)
+    pos = find("Transformer/posembed_input/pos_embedding")[0]  # [N(+1), width]
+
+    try:
+        cls = find("cls")[0, 0]
+        has_cls = True
+    except KeyError:
+        cls = np.zeros((width,), np.float32)
+        has_cls = False
+    if not has_cls:
+        pos = np.concatenate([np.zeros((1, width), pos.dtype), pos], axis=0)
+
+    blocks = []
+    i = 0
+    while True:
+        pre = f"Transformer/encoderblock_{i}/"
+        try:
+            ln1s = find(pre + "LayerNorm_0/scale")
+        except KeyError:
+            break
+        attn_pre = pre + "MultiHeadDotProductAttention_1/"
+        q = find(attn_pre + "query/kernel").reshape(width, -1)
+        k = find(attn_pre + "key/kernel").reshape(width, -1)
+        v = find(attn_pre + "value/kernel").reshape(width, -1)
+        qb = find(attn_pre + "query/bias").reshape(-1)
+        kb = find(attn_pre + "key/bias").reshape(-1)
+        vb = find(attn_pre + "value/bias").reshape(-1)
+        out_k = find(attn_pre + "out/kernel").reshape(-1, width)
+        blocks.append({
+            "ln_1": {"scale": jnp.asarray(ln1s, dtype),
+                     "bias": jnp.asarray(find(pre + "LayerNorm_0/bias"), dtype)},
+            "attn": {
+                # torch (out, in) orientation: transpose the flax kernels
+                "in_proj_w": jnp.asarray(
+                    np.concatenate([q.T, k.T, v.T], axis=0), dtype),
+                "in_proj_b": jnp.asarray(np.concatenate([qb, kb, vb]), dtype),
+                "out_proj_w": jnp.asarray(out_k.T, dtype),
+                "out_proj_b": jnp.asarray(find(attn_pre + "out/bias"), dtype),
+            },
+            "ln_2": {"scale": jnp.asarray(find(pre + "LayerNorm_2/scale"), dtype),
+                     "bias": jnp.asarray(find(pre + "LayerNorm_2/bias"), dtype)},
+            "mlp": {
+                "c_fc_w": jnp.asarray(find(pre + "MlpBlock_3/Dense_0/kernel").T, dtype),
+                "c_fc_b": jnp.asarray(find(pre + "MlpBlock_3/Dense_0/bias"), dtype),
+                "c_proj_w": jnp.asarray(find(pre + "MlpBlock_3/Dense_1/kernel").T, dtype),
+                "c_proj_b": jnp.asarray(find(pre + "MlpBlock_3/Dense_1/bias"), dtype),
+            },
+        })
+        i += 1
+
+    try:
+        proj = jnp.asarray(find("head/kernel"), dtype)
+    except KeyError:
+        proj = jnp.eye(width, dtype=dtype)
+
+    return {
+        "conv1_w": conv1,
+        "class_embedding": jnp.asarray(cls, dtype),
+        "positional_embedding": jnp.asarray(pos, dtype),
+        "ln_pre": {"scale": jnp.ones((width,), dtype),
+                   "bias": jnp.zeros((width,), dtype)},
+        "blocks": blocks,
+        "ln_post": {"scale": jnp.asarray(find("Transformer/encoder_norm/scale"), dtype),
+                    "bias": jnp.asarray(find("Transformer/encoder_norm/bias"), dtype)},
+        "proj": proj,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,20 @@ class SegDataset:
         for stem in self._stems:
             yield self.load(stem)
 
+    def prefetch(self, lookahead: int = 2) -> Iterator[SegSample]:
+        """Background-thread prefetching iterator: decode+preprocess of the
+        next images overlaps TPU compute (the mmengine num_workers role)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=lookahead) as pool:
+            futures = [pool.submit(self.load, s) for s in self._stems[:lookahead]]
+            for i in range(len(self._stems)):
+                nxt = i + lookahead
+                if nxt < len(self._stems):
+                    futures.append(pool.submit(self.load, self._stems[nxt]))
+                yield futures[i].result()
+                futures[i] = None  # release memory
+
     def load(self, stem: str) -> SegSample:
         img_path = os.path.join(self.img_dir, stem + self.meta.img_suffix)
         rgb = load_image(img_path)

@@ -84,7 +84,7 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     n = len(dataset)
     t0 = time.perf_counter()
     pixels = 0
-    for i, sample in enumerate(dataset):
+    for i, sample in enumerate(dataset.prefetch()):
         result = segmentor.predict(sample.img[None], [sample.meta])[0]
         pred = np.asarray(result["pred_sem_seg"])[0]
         pixels += pred.size

@@ -1,0 +1,148 @@
+"""Model factory — the open_clip entry-point surface on rs_ov internals.
+
+Mirrors the reference's ``open_clip.create_model`` family (reference
+open_clip/factory.py:165-320, :360, :417) so users of the reference find the
+same call shapes: (model_name, pretrained, precision) -> a model handle with
+``encode_image`` / ``encode_text``, plus ``create_model_and_transforms`` and
+``get_tokenizer``. ``pretrained`` is a LOCAL checkpoint path or a registry
+tag; tags resolve to URLs in ``rs_ov.pretrained`` but are never downloaded
+implicitly (zero-egress) — a clear error tells the user where to fetch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rs_ov.core.checkpoint import (clip_params_from_state_dict,
+                                   infer_clip_config_from_state_dict,
+                                   load_torch_state_dict)
+from rs_ov.core.config import CLIPConfig, get_model_config
+from rs_ov.core.params import cast_floating, init_clip_params
+from rs_ov.nn.vit import VitCallConfig, vit_forward
+from rs_ov.text.encoder import text_forward
+from rs_ov.text.tokenizer import SimpleTokenizer
+
+__all__ = ["CLIPModel", "create_model", "create_model_and_transforms",
+           "get_tokenizer", "image_transform"]
+
+_PRECISIONS = {"fp32": jnp.float32, "fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
+               "bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+@dataclasses.dataclass
+class CLIPModel:
+    """Functional CLIP handle (the reference's ``CLIP`` nn.Module surface)."""
+
+    cfg: CLIPConfig
+    params: dict
+
+    def encode_image(self, image, model_type: str = "vanilla",
+                     ignore_residual: bool = False,
+                     output_cls_token: bool = False, normalize: bool = False,
+                     **call_kwargs):
+        call = VitCallConfig(model_type=model_type, ignore_residual=ignore_residual,
+                             output_cls_token=output_cls_token,
+                             quick_gelu=self.cfg.quick_gelu, **call_kwargs)
+        out = vit_forward(self.params["visual"], jnp.asarray(image),
+                          self.cfg.vision, call)
+
+        def _norm(x):
+            x32 = x.astype(jnp.float32)
+            return (x32 / jnp.maximum(jnp.linalg.norm(x32, axis=-1, keepdims=True),
+                                      1e-12)).astype(x.dtype)
+
+        if output_cls_token:
+            pooled, tokens = out
+            return (_norm(pooled), _norm(tokens)) if normalize else (pooled, tokens)
+        return _norm(out) if normalize else out
+
+    def encode_text(self, text_ids, normalize: bool = False):
+        return text_forward(self.params["text"], jnp.asarray(text_ids),
+                            self.cfg.text, quick_gelu_act=self.cfg.quick_gelu,
+                            normalize=normalize)
+
+    @property
+    def logit_scale(self):
+        return jnp.exp(self.params["logit_scale"])
+
+    @property
+    def visual_patch_size(self):
+        return (self.cfg.vision.patch_size, self.cfg.vision.patch_size)
+
+
+def create_model(model_name: str, pretrained: Optional[str] = None,
+                 precision: str = "fp32", device=None, jit: bool = False,
+                 force_quick_gelu: bool = False, seed: int = 0,
+                 **_ignored) -> CLIPModel:
+    """(reference factory.py:165-320). ``pretrained``: local path or tag."""
+    del device, jit
+    dtype = _PRECISIONS.get(precision, jnp.float32)
+    if pretrained and os.path.exists(pretrained):
+        sd = load_torch_state_dict(pretrained)
+        quick_gelu = force_quick_gelu or "/" in model_name \
+            or pretrained.endswith((".pt",)) and "openai" in pretrained.lower()
+        try:
+            cfg = get_model_config(model_name)
+        except KeyError:
+            cfg = infer_clip_config_from_state_dict(sd, quick_gelu=quick_gelu)
+        params = cast_floating(clip_params_from_state_dict(sd), dtype)
+        return CLIPModel(cfg=cfg, params=params)
+    if pretrained:
+        from rs_ov.pretrained import get_pretrained_url
+
+        url = get_pretrained_url(model_name, pretrained)
+        raise FileNotFoundError(
+            f"No implicit downloads in this environment. Fetch the weights for "
+            f"({model_name}, {pretrained}) from {url or 'its distributor'} and "
+            f"pass the local path as `pretrained`.")
+    cfg = get_model_config(model_name)
+    if force_quick_gelu and not cfg.quick_gelu:
+        cfg = dataclasses.replace(cfg, quick_gelu=True)
+    params = init_clip_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
+    return CLIPModel(cfg=cfg, params=params)
+
+
+def image_transform(image_size: int = 224, is_train: bool = False,
+                    mean=None, std=None):
+    """Inference preprocessing closure (reference transform.py:274-389:
+    bicubic shortest-side resize -> center crop -> normalize). Returns a
+    numpy HWC-uint8 -> CHW-float32 callable."""
+    import numpy as np
+
+    from rs_ov.utils.resize import resize_bicubic
+
+    assert not is_train, "training augmentation is out of scope for eval"
+    mean = np.asarray(mean if mean is not None else
+                      (0.48145466, 0.4578275, 0.40821073), np.float32)
+    std = np.asarray(std if std is not None else
+                     (0.26862954, 0.26130258, 0.27577711), np.float32)
+
+    def transform(img_hwc):
+        x = np.asarray(img_hwc).astype(np.float32) / 255.0
+        h, w = x.shape[:2]
+        scale = image_size / min(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        x = np.asarray(resize_bicubic(jnp.asarray(x.transpose(2, 0, 1)), (nh, nw)))
+        top, left = (nh - image_size) // 2, (nw - image_size) // 2
+        x = x[:, top:top + image_size, left:left + image_size]
+        return (x - mean[:, None, None]) / std[:, None, None]
+
+    return transform
+
+
+def create_model_and_transforms(model_name: str, pretrained: Optional[str] = None,
+                                precision: str = "fp32", **kwargs):
+    """(model, preprocess_train, preprocess_val) — reference factory.py:360."""
+    model = create_model(model_name, pretrained, precision, **kwargs)
+    preprocess = image_transform(model.cfg.vision.image_size)
+    return model, preprocess, preprocess
+
+
+def get_tokenizer(model_name: str = "", context_length: int | None = None,
+                  **_ignored) -> SimpleTokenizer:
+    return SimpleTokenizer(context_length=context_length or 77)
