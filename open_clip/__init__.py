@@ -1,0 +1,22 @@
+"""open_clip compatibility facade over rs_ov.
+
+The reference's public API contract includes ``open_clip.create_model`` /
+``create_model_and_transforms`` / ``get_tokenizer`` / ``tokenizer.tokenize``
+(BASELINE.json; reference open_clip/factory.py). This package re-exports the
+rs_ov equivalents under the familiar names so reference user code imports
+unchanged.
+"""
+
+from rs_ov.factory import (  # noqa: F401
+    CLIPModel,
+    create_model,
+    create_model_and_transforms,
+    get_tokenizer,
+    image_transform,
+)
+from rs_ov.pretrained import get_pretrained_url, list_pretrained  # noqa: F401
+from rs_ov.text import tokenizer  # noqa: F401
+from rs_ov.text.tokenizer import SimpleTokenizer, tokenize  # noqa: F401
+
+OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)

@@ -73,12 +73,21 @@ def adaptive_conv_pallas(inp: jnp.ndarray, filters: jnp.ndarray,
     if (hpad, wpad) != (h, w):
         filt_t = jnp.pad(filt_t, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w)))
 
-    # channel block sized so inp block + fp32 acc + out fit comfortably
+    # channel block sized so inp block + fp32 acc + out fit comfortably;
+    # account for Mosaic's physical (8, 128) tile padding of the trailing dims
+    def pad8(x):
+        return -(-x // 8) * 8
+
+    def pad128(x):
+        return -(-x // 128) * 128
+
     c_block = c
     def footprint(cb):
-        return cb * hp * wp * inp.dtype.itemsize + 4 * cb * h * w \
-            + cb * h * w * inp.dtype.itemsize
-    while c_block > 8 and (c % c_block != 0 or footprint(c_block) > 9 * 1024 * 1024):
+        return (cb * pad8(hp) * pad128(wp) * inp.dtype.itemsize
+                + 4 * cb * pad8(h) * pad128(w)
+                + cb * pad8(h) * pad128(w) * inp.dtype.itemsize
+                + 2 * pad8(hpad) * pad128(wpad) * filters.dtype.itemsize)
+    while c_block > 8 and (c % c_block != 0 or footprint(c_block) > 6 * 1024 * 1024):
         c_block //= 2
 
     grid = (b, c // c_block)

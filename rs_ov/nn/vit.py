@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from rs_ov.core.config import VisionConfig
@@ -154,15 +155,40 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
     attn_weights = None  # head-averaged [B, L, L] from penultimate front block
     attn_acc = None      # layer-fusion EMA accumulator
 
-    for idx in range(n_front):
-        if idx == mid_idx and call.apply_similarity_enhancement:
-            mid_features = x
-        need_w = call.apply_layer_fusion or (capture_attn and idx == n_front - 1)
-        x, w_attn = _resblock(blocks[idx], x, heads, act, need_weights=need_w)
-        if call.apply_layer_fusion:
-            attn_acc = fuse_attention_ema(attn_acc, w_attn, call.layer_fusion_lambda)
-        elif need_w:
-            attn_weights = w_attn
+    if not call.apply_layer_fusion and n_front > 1:
+        # the homogeneous front blocks run as ONE lax.scan over stacked params
+        # (compile time scales with one block, not n_front); captures become
+        # scan outputs. Mid-layer features are the state BEFORE block mid_idx
+        # (reference transformer.py:592-595), i.e. the embedding for
+        # mid_idx == 0 else the output of block mid_idx-1.
+        need_mid = call.apply_similarity_enhancement
+        x_embed = x
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *blocks[:n_front])
+
+        def scan_body(x, blk):
+            x_new, w_attn = _resblock(blk, x, heads, act,
+                                      need_weights=capture_attn)
+            ys = (x_new if need_mid else jnp.zeros((), x_new.dtype),
+                  w_attn if capture_attn else jnp.zeros((), jnp.float32))
+            return x_new, ys
+
+        x, (xs_stack, ws_stack) = jax.lax.scan(scan_body, x, stacked)
+        if need_mid:
+            mid_features = x_embed if mid_idx == 0 else xs_stack[mid_idx - 1]
+        if capture_attn:
+            attn_weights = ws_stack[n_front - 1]
+    else:
+        for idx in range(n_front):
+            if idx == mid_idx and call.apply_similarity_enhancement:
+                mid_features = x
+            need_w = call.apply_layer_fusion or (capture_attn and idx == n_front - 1)
+            x, w_attn = _resblock(blocks[idx], x, heads, act, need_weights=need_w)
+            if call.apply_layer_fusion:
+                attn_acc = fuse_attention_ema(attn_acc, w_attn,
+                                              call.layer_fusion_lambda)
+            elif need_w:
+                attn_weights = w_attn
 
     sim_map = None
     if call.apply_similarity_enhancement and mid_features is not None:
