@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["adaptive_conv_pallas"]
+__all__ = ["adaptive_conv_pallas", "adaptive_conv_pallas_planes"]
 
 
 def _kernel(filt_hbm, inp_ref, out_ref, acc_ref, filt_vmem, sems,
@@ -63,9 +63,22 @@ def adaptive_conv_pallas(inp: jnp.ndarray, filters: jnp.ndarray,
     b, c, hp, wp = inp.shape
     _, h, w, d1, d2 = filters.shape
     assert d1 == d2 and hp == h + d1 - 1 and wp == w + d1 - 1
-    d = d1
+    filt_t = filters.reshape(b, h, w, d1 * d1).transpose(0, 3, 1, 2)
+    return adaptive_conv_pallas_planes(inp, filt_t, d1, interpret=interpret)
 
-    filt_t = filters.reshape(b, h, w, d * d).transpose(0, 3, 1, 2)  # [B, d*d, H, W]
+
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+def adaptive_conv_pallas_planes(inp: jnp.ndarray, filt_t: jnp.ndarray,
+                                diameter: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Plane-layout entry: filt_t [B, d*d, H, W] (tap-major) — the layout the
+    JBU range-kernel pipeline already produces, avoiding a [B,H,W,d,d]
+    transpose round-trip of a multi-GB tensor."""
+    b, c, hp, wp = inp.shape
+    _, dd, h, w = filt_t.shape
+    d = diameter
+    assert dd == d * d and hp == h + d - 1 and wp == w + d - 1
+    del dd
     # manual HBM->VMEM DMAs require tiling-aligned plane shapes: pad the tap
     # planes to (8, 128) multiples; the kernel reads back the [:h, :w] window
     hpad = -(-h // 8) * 8
@@ -86,7 +99,7 @@ def adaptive_conv_pallas(inp: jnp.ndarray, filters: jnp.ndarray,
         return (cb * pad8(hp) * pad128(wp) * inp.dtype.itemsize
                 + 4 * cb * pad8(h) * pad128(w)
                 + cb * pad8(h) * pad128(w) * inp.dtype.itemsize
-                + 2 * pad8(hpad) * pad128(wpad) * filters.dtype.itemsize)
+                + 2 * pad8(hpad) * pad128(wpad) * filt_t.dtype.itemsize)
     while c_block > 8 and (c % c_block != 0 or footprint(c_block) > 6 * 1024 * 1024):
         c_block //= 2
 
@@ -105,7 +118,7 @@ def adaptive_conv_pallas(inp: jnp.ndarray, filters: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((c_block, h, w), jnp.float32),
-            pltpu.VMEM((2, hpad, wpad), filters.dtype),
+            pltpu.VMEM((2, hpad, wpad), filt_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -138,11 +138,18 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
 
     fixup_in = jnp.concatenate([combined.astype(guidance.dtype), guidance], axis=1)
     combined = combined + 0.1 * _proj2(fixup_in, p["fixup_proj"]).astype(jnp.float32)
-    combined = combined.transpose(0, 2, 3, 1).reshape(gb, gh, gw, diameter, diameter)
 
     hr_source = resize_bicubic(source, (gh, gw))
     hr_source_padded = reflect_pad_2d(hr_source, radius)
-    return adaptive_conv(hr_source_padded, combined.astype(hr_source_padded.dtype))
+    combined = combined.astype(hr_source_padded.dtype)
+    if jax.default_backend() not in ("cpu",):
+        # combined is ALREADY tap-major [B, d*d, H, W] — feed the Pallas
+        # kernel directly, skipping a multi-GB transpose round-trip
+        from rs_ov.kernels.adaptive_conv import adaptive_conv_pallas_planes
+
+        return adaptive_conv_pallas_planes(hr_source_padded, combined, diameter)
+    filt = combined.transpose(0, 2, 3, 1).reshape(gb, gh, gw, diameter, diameter)
+    return adaptive_conv(hr_source_padded, filt)
 
 
 def _final_fixup(x: jnp.ndarray, p: dict) -> jnp.ndarray:

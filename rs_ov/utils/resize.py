@@ -170,12 +170,14 @@ def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
 def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
     """Apply (out_h, in_h) and (out_w, in_w) matrices to the last two axes."""
     dtype = x.dtype
+    # fp32 accumulation via preferred_element_type; operands keep their dtype
+    # so the MXU runs at native bf16 rate on TPU (fp32 exact on CPU tests)
     wh_j = jnp.asarray(wh, dtype=jnp.float32)
     ww_j = jnp.asarray(ww, dtype=jnp.float32)
-    y = jnp.einsum(
-        "oh,...hw->...ow", wh_j, x.astype(jnp.float32), precision="highest"
-    )
-    y = jnp.einsum("pw,...ow->...op", ww_j, y, precision="highest")
+    y = jnp.einsum("oh,...hw->...ow", wh_j.astype(dtype), x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    y = jnp.einsum("pw,...ow->...op", ww_j.astype(dtype), y,
+                   preferred_element_type=jnp.float32)
     return y.astype(dtype)
 
 
