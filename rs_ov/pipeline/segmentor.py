@@ -121,6 +121,9 @@ class SegmentorEx:
                  device=None,  # accepted for API compat; placement is JAX's job
                  ):
         del device
+        from rs_ov.core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.clip_type = clip_type
         self.vit_type = vit_type
         self.model_type = model_type

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["clip_loss", "siglip_loss"]
+__all__ = ["clip_loss", "siglip_loss", "coca_loss", "distill_clip_loss"]
 
 
 def _has_axis(axis_name) -> bool:
@@ -65,6 +65,57 @@ def clip_loss(image_features: jnp.ndarray, text_features: jnp.ndarray,
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
     return 0.5 * (ce(logits_i) + ce(logits_t))
+
+
+def coca_loss(image_features: jnp.ndarray, text_features: jnp.ndarray,
+              caption_logits: jnp.ndarray, caption_labels: jnp.ndarray,
+              logit_scale: jnp.ndarray, *, caption_weight: float = 2.0,
+              clip_weight: float = 1.0, pad_id: int = 0,
+              axis_name: str | None = None):
+    """CoCa loss = contrastive + caption cross-entropy
+    (reference open_clip/loss.py:134-177). caption_logits: [B, L, V];
+    caption_labels: [B, L] with pad_id ignored.
+    Returns (clip_term, caption_term) like the reference."""
+    contrastive = clip_loss(image_features, text_features, logit_scale,
+                            axis_name=axis_name) * clip_weight
+    logp = jax.nn.log_softmax(caption_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, caption_labels[..., None], axis=-1)[..., 0]
+    mask = (caption_labels != pad_id).astype(jnp.float32)
+    caption = (jnp.sum(nll * mask) / jnp.clip(jnp.sum(mask), 1.0, None)
+               ) * caption_weight
+    return contrastive, caption
+
+
+def distill_clip_loss(image_features: jnp.ndarray, text_features: jnp.ndarray,
+                      logit_scale: jnp.ndarray,
+                      dist_image_features: jnp.ndarray,
+                      dist_text_features: jnp.ndarray,
+                      dist_logit_scale: jnp.ndarray, *,
+                      axis_name: str | None = None):
+    """Distillation contrastive loss (reference open_clip/loss.py:180-216):
+    ground-truth InfoNCE + cross-entropy against the teacher's softened
+    logits. Returns (contrastive_loss, distill_loss)."""
+    contrastive = clip_loss(image_features, text_features, logit_scale,
+                            axis_name=axis_name)
+    if axis_name is not None:
+        image_features = jax.lax.all_gather(image_features, axis_name, tiled=True)
+        text_features = jax.lax.all_gather(text_features, axis_name, tiled=True)
+        dist_image_features = jax.lax.all_gather(dist_image_features, axis_name,
+                                                 tiled=True)
+        dist_text_features = jax.lax.all_gather(dist_text_features, axis_name,
+                                                tiled=True)
+    logits_i = logit_scale * image_features @ text_features.T
+    logits_t = logits_i.T
+    t_logits_i = dist_logit_scale * dist_image_features @ dist_text_features.T
+    t_logits_t = t_logits_i.T
+
+    def ce_soft(student, teacher):
+        teacher_p = jax.nn.softmax(teacher.astype(jnp.float32), axis=-1)
+        logp = jax.nn.log_softmax(student.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.sum(teacher_p * logp, axis=-1))
+
+    distill = 0.5 * (ce_soft(logits_i, t_logits_i) + ce_soft(logits_t, t_logits_t))
+    return contrastive, distill
 
 
 def _siglip_local(image_features, text_features, logit_scale, logit_bias,
