@@ -47,6 +47,7 @@ def load_reference_transformer():
         sys.modules["open_clip"] = pkg
         utils = types.ModuleType("open_clip.utils")
         utils.to_2tuple = _to_2tuple
+        utils.freeze_batch_norm_2d = lambda *a, **k: None  # torchvision-free stub
         sys.modules["open_clip.utils"] = utils
         _load_as("open_clip.pos_embed", f"{REF}/open_clip/pos_embed.py")
     mod = _load_as("open_clip.transformer", f"{REF}/open_clip/transformer.py")
@@ -63,6 +64,9 @@ def load_reference_module(name: str):
         mod = _load_as(name, f"{REF}/gem/{name}.py")
     elif name == "upsamplers":
         mod = _load_as("ref_upsamplers", f"{REF}/simfeatup_dev/upsamplers.py")
+    elif name in ("modified_resnet", "loss"):
+        load_reference_transformer()  # ensures the fake open_clip pkg exists
+        mod = _load_as(f"open_clip.{name}", f"{REF}/open_clip/{name}.py")
     else:
         mod = _load_as(f"ref_{name}", f"{REF}/{name}.py")
     _loaded[name] = mod
