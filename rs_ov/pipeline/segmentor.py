@@ -397,7 +397,8 @@ class SegmentorEx:
         bounding the chunk bounds peak HBM while the ViT still runs fully
         batched."""
         t = tokens.shape[0]
-        chunk = self.tile_chunk or (16 if self.apply_sim_feat_up else 0)
+        chunk = self.tile_chunk or int(os.environ.get(
+            "RS_OV_TILE_CHUNK", "4" if self.apply_sim_feat_up else "0"))
         if not chunk or t <= chunk:
             return self._decontam_and_classify(tokens, cls_norm, cls_logits,
                                                tiles, grid_p, pads, tile_hw)

@@ -256,4 +256,15 @@ def get_upsampler(name: str):
     if name == "jbu_stack":
         return (lambda p, s, g: jbu_stack_forward(p, s, g, radius=3),
                 lambda key, dim, dtype=jnp.float32: init_jbu_stack_params(key, dim, dtype=dtype))
-    raise ValueError(f"Unknown upsampler '{name}' (known: bilinear, jbu_one, jbu_stack)")
+    if name == "resize_conv":
+        from rs_ov.upsample.alternates import init_resize_conv_params, resize_conv_forward
+
+        return resize_conv_forward, init_resize_conv_params
+    if name == "ifa":
+        from rs_ov.upsample.alternates import ifa_forward, init_ifa_params
+
+        return ifa_forward, init_ifa_params
+    raise ValueError(
+        f"Unknown upsampler '{name}' (known: bilinear, jbu_one, jbu_stack, "
+        f"resize_conv, ifa; carafe/sapa need their external training weights "
+        f"and are not ported)")
