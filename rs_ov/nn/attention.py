@@ -124,6 +124,21 @@ def _pad_sim_map_for_cls(sim_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(sim_map, ((0, 0), (1, 0), (1, 0)))
 
 
+def _use_fused_kernel(mode: str) -> bool:
+    """Route the self-self modes through the Pallas kernel on accelerators
+    (identical math: bf16 scores on the MXU, fp32 softmax; disable with
+    RS_OV_FUSED_ATTN=0)."""
+    import os
+
+    if os.environ.get("RS_OV_FUSED_ATTN", "1") == "0":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from rs_ov.kernels.selfself_attention import SUPPORTED_MODES
+
+    return mode in SUPPORTED_MODES
+
+
 def custom_attn(p: dict, x: jnp.ndarray, *, mode: str, heads: int,
                 sim_map: jnp.ndarray | None = None,
                 similarity_weight: float = 1.0,
@@ -140,6 +155,18 @@ def custom_attn(p: dict, x: jnp.ndarray, *, mode: str, heads: int,
     head_dim = d // heads
     scale = head_dim ** -0.5
     q, k, v = qkv_projection(p, x, heads)
+
+    if _use_fused_kernel(mode):
+        from rs_ov.kernels.selfself_attention import fused_selfself_attention
+
+        sim_padded = None
+        if sim_map is not None:
+            sim_padded = _pad_sim_map_for_cls(sim_map.astype(jnp.float32))
+        ctx = fused_selfself_attention(q, k, v, sim_padded, mode=mode,
+                                       sim_weight=float(similarity_weight))
+        out = _merge_heads(ctx)
+        return linear(out, p["out_proj_w"], p["out_proj_b"])
+
     q32 = q.astype(jnp.float32)
     k32 = k.astype(jnp.float32)
     v32 = v.astype(jnp.float32)
