@@ -125,12 +125,13 @@ def _pad_sim_map_for_cls(sim_map: jnp.ndarray) -> jnp.ndarray:
 
 
 def _use_fused_kernel(mode: str) -> bool:
-    """Route the self-self modes through the Pallas kernel on accelerators
-    (identical math: bf16 scores on the MXU, fp32 softmax; disable with
-    RS_OV_FUSED_ATTN=0)."""
+    """Opt-in Pallas routing (RS_OV_FUSED_ATTN=1). Measured on v5e: at the
+    pipeline's tiny L=197 XLA's batched bmms beat the per-(batch, head)
+    kernel grid 4.6x (32ms vs 148ms / 16 tiles) — the kernel exists for
+    long-sequence regimes, so the default stays XLA."""
     import os
 
-    if os.environ.get("RS_OV_FUSED_ATTN", "1") == "0":
+    if os.environ.get("RS_OV_FUSED_ATTN", "0") != "1":
         return False
     if jax.default_backend() == "cpu":
         return False
