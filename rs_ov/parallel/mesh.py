@@ -19,7 +19,23 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "named_sharding"]
+__all__ = ["make_mesh", "named_sharding", "initialize_distributed"]
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (the reference's NNODES/NODE_RANK/MASTER_ADDR role,
+    reference dist_test.sh:2-12). On TPU pods jax.distributed auto-discovers;
+    args cover DCN-connected CPU/GPU fleets. Safe to call twice."""
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialised (or single-process)
 
 
 def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
