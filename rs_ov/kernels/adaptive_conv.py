@@ -27,7 +27,104 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["adaptive_conv_pallas", "adaptive_conv_pallas_planes"]
+__all__ = ["adaptive_conv_pallas", "adaptive_conv_pallas_planes",
+           "adaptive_conv_pallas_cl"]
+
+
+def _kernel_cl(inp_hbm, filt_ref, out_ref, acc_ref, tap_ref, inp_vmem, sems,
+               *, diameter: int, rows: int, h: int, w: int, c_block: int):
+    """Channels-last variant: channels ride the LANE dim at full width, the
+    shifted window reads slice only major/sublane dims (no lane rotations).
+    inp_hbm: [B, Hp, Wp, C]; filt_ref: [1, d*d, rows, w] VMEM;
+    out_ref: [1, rows, w, cb]; inp_vmem: [rows+d-1, wp, cb]."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    r0 = hi * rows
+
+    dma = pltpu.make_async_copy(
+        inp_hbm.at[bi, pl.ds(r0, rows + diameter - 1), :,
+                   pl.ds(ci * c_block, c_block)],
+        inp_vmem, sems.at[0])
+    dma.start()
+    dma.wait()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for t in range(diameter * diameter):
+        u, v = t // diameter, t % diameter
+        # stage the tap through an in-place [rows, w, 1] scratch so the
+        # unrolled loop doesn't stack-allocate a relayout per iteration
+        tap_ref[:, :, 0] = filt_ref[0, t].astype(jnp.float32)
+        patch = inp_vmem[u:u + rows, v:v + w, :].astype(jnp.float32)
+        acc_ref[:] = acc_ref[:] + tap_ref[:] * patch
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+def adaptive_conv_pallas_cl(inp: jnp.ndarray, filt_t: jnp.ndarray,
+                            diameter: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """EXPERIMENTAL channels-last adaptive conv (not yet the default).
+
+    Channels ride the lane dim at full width, so the small JBU stages stop
+    wasting 78% of the VPU on lane padding; window reads slice only
+    major/sublane dims. Correct (see tests) but Mosaic currently
+    stack-allocates the unrolled loop's temporaries beyond the 16MB VMEM
+    scope at production shapes — row-tile/temp tuning is round-2 work.
+    inp: [B, C, Hp, Wp] NCHW in/out (transposes inside); filt_t: [B, d*d, H, W].
+    """
+    b, c, hp, wp = inp.shape
+    _, dd, h, w = filt_t.shape
+    d = diameter
+    assert dd == d * d and hp == h + d - 1 and wp == w + d - 1
+    if c % 128 != 0:
+        # manual DMA lane slices must be 128-aligned — small-channel cases
+        # take the NCHW planes kernel
+        return adaptive_conv_pallas_planes(inp, filt_t, diameter,
+                                           interpret=interpret)
+
+    inp_cl = inp.transpose(0, 2, 3, 1)  # [B, Hp, Wp, C]
+    # the DMA'd region's sublane dim (Wp) must be tiling-aligned
+    wp_pad = -(-wp // 8) * 8
+    if wp_pad != wp:
+        inp_cl = jnp.pad(inp_cl, ((0, 0), (0, 0), (0, wp_pad - wp), (0, 0)))
+
+    c_block = min(c, 128)
+    while c % c_block != 0:
+        c_block //= 2
+    rows = h
+    def footprint(rb):
+        return ((rb + d - 1) * wp * c_block * inp.dtype.itemsize
+                + 4 * rb * w * c_block
+                + rb * w * c_block * inp.dtype.itemsize
+                + d * d * rb * -(-w // 128) * 128 * filt_t.dtype.itemsize)
+    while rows > 8 and (h % rows != 0 or footprint(rows) > 9 * 1024 * 1024):
+        rows //= 2
+
+    grid = (b, h // rows, c // c_block)
+    kernel = functools.partial(_kernel_cl, diameter=d, rows=rows, h=h, w=w,
+                               c_block=c_block)
+    out_cl = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), inp.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # input DMA'd manually
+            pl.BlockSpec((1, d * d, rows, w), lambda bi, hi, ci: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, w, c_block),
+                               lambda bi, hi, ci: (bi, hi, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, w, c_block), jnp.float32),
+            pltpu.VMEM((rows, w, 1), jnp.float32),
+            pltpu.VMEM((rows + d - 1, wp_pad, c_block), inp.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(inp_cl, filt_t)
+    return out_cl.transpose(0, 3, 1, 2)
 
 
 def _kernel(filt_hbm, inp_ref, out_ref, acc_ref, filt_vmem, sems,

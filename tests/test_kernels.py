@@ -52,3 +52,18 @@ def test_fused_attention_matches_custom_attn(mode, with_sim):
     got = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)  # out_proj is identity
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_adaptive_conv_cl_matches_xla():
+    """Experimental channels-last variant (interpret mode)."""
+    from rs_ov.kernels.adaptive_conv import adaptive_conv_pallas_cl
+
+    rng = np.random.RandomState(2)
+    b, c, h, w, d = 1, 128, 12, 16, 5
+    inp = rng.randn(b, c, h + d - 1, w + d - 1).astype(np.float32)
+    filt = rng.rand(b, h, w, d, d).astype(np.float32)
+    ref = np.asarray(adaptive_conv(jnp.asarray(inp), jnp.asarray(filt)))
+    filt_t = jnp.asarray(filt.reshape(b, h, w, d * d).transpose(0, 3, 1, 2))
+    got = np.asarray(adaptive_conv_pallas_cl(jnp.asarray(inp), filt_t, d,
+                                             interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
