@@ -96,20 +96,20 @@ def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = Tr
         return params, opt_state, loss
 
     data_spec = NamedSharding(mesh, P("data"))
-    param_spec = None
+    state = {"compiled": None}
 
     def jit_step(params, opt_state, images, texts):
-        nonlocal param_spec
-        if param_spec is None:
+        if state["compiled"] is None:
             specs = clip_param_shardings(params)
             param_spec = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
-        compiled = jax.jit(
-            train_step,
-            in_shardings=(param_spec, None, data_spec, data_spec),
-            out_shardings=(param_spec, None, None),
-        )
-        return compiled(params, opt_state, images, texts)
+            # built once — rebuilding jax.jit per call would recompile per step
+            state["compiled"] = jax.jit(
+                train_step,
+                in_shardings=(param_spec, None, data_spec, data_spec),
+                out_shardings=(param_spec, None, None),
+            )
+        return state["compiled"](params, opt_state, images, texts)
 
     return jit_step, optimizer.init
