@@ -50,13 +50,19 @@ def _kernel_cl(inp_hbm, filt_ref, out_ref, acc_ref, tap_ref, inp_vmem, sems,
     dma.wait()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    for t in range(diameter * diameter):
-        u, v = t // diameter, t % diameter
-        # stage the tap through an in-place [rows, w, 1] scratch so the
-        # unrolled loop doesn't stack-allocate a relayout per iteration
-        tap_ref[:, :, 0] = filt_ref[0, t].astype(jnp.float32)
-        patch = inp_vmem[u:u + rows, v:v + w, :].astype(jnp.float32)
-        acc_ref[:] = acc_ref[:] + tap_ref[:] * patch
+
+    # fori over u (dynamic slices on MAJOR dims are legal), static unroll
+    # only over v: bounds the unrolled-loop stack temporaries to d, not d^2
+    def u_body(u, _):
+        for v in range(diameter):
+            # stage the tap through an in-place [rows, w, 1] scratch so each
+            # iteration reuses one relayout buffer
+            tap_ref[:, :, 0] = filt_ref[0, u * diameter + v].astype(jnp.float32)
+            patch = inp_vmem[pl.ds(u, rows), v:v + w, :].astype(jnp.float32)
+            acc_ref[:] = acc_ref[:] + tap_ref[:] * patch
+        return 0
+
+    jax.lax.fori_loop(0, diameter, u_body, 0)
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -64,13 +70,11 @@ def _kernel_cl(inp_hbm, filt_ref, out_ref, acc_ref, tap_ref, inp_vmem, sems,
 def adaptive_conv_pallas_cl(inp: jnp.ndarray, filt_t: jnp.ndarray,
                             diameter: int,
                             interpret: bool = False) -> jnp.ndarray:
-    """EXPERIMENTAL channels-last adaptive conv (not yet the default).
-
-    Channels ride the lane dim at full width, so the small JBU stages stop
-    wasting 78% of the VPU on lane padding; window reads slice only
-    major/sublane dims. Correct (see tests) but Mosaic currently
-    stack-allocates the unrolled loop's temporaries beyond the 16MB VMEM
-    scope at production shapes — row-tile/temp tuning is round-2 work.
+    """EXPERIMENTAL channels-last adaptive conv — kept for reference, LOSES
+    to the planes kernel on v5e (400ms vs 237ms across the four JBU stages,
+    16 tiles): full-lane channel utilisation does not pay for the per-tap
+    relayout of the [rows, w, 1] tap broadcast and the fori/DMA overhead.
+    Conclusion recorded 2026-08-16; the NCHW planes kernel stays production.
     inp: [B, C, Hp, Wp] NCHW in/out (transposes inside); filt_t: [B, d*d, H, W].
     """
     b, c, hp, wp = inp.shape
@@ -92,14 +96,20 @@ def adaptive_conv_pallas_cl(inp: jnp.ndarray, filt_t: jnp.ndarray,
     c_block = min(c, 128)
     while c % c_block != 0:
         c_block //= 2
-    rows = h
+    def pad8(x):
+        return -(-x // 8) * 8
+
     def footprint(rb):
-        return ((rb + d - 1) * wp * c_block * inp.dtype.itemsize
-                + 4 * rb * w * c_block
-                + rb * w * c_block * inp.dtype.itemsize
-                + d * d * rb * -(-w // 128) * 128 * filt_t.dtype.itemsize)
-    while rows > 8 and (h % rows != 0 or footprint(rows) > 9 * 1024 * 1024):
-        rows //= 2
+        return ((rb + d - 1) * wp_pad * c_block * inp.dtype.itemsize   # inp
+                + 4 * rb * pad8(w) * c_block                            # acc
+                + 2 * rb * pad8(w) * c_block * inp.dtype.itemsize       # out x2
+                + 2 * d * d * pad8(rb) * 128 * filt_t.dtype.itemsize    # filt x2
+                + 4 * d * rb * pad8(w) * c_block)                       # v-temps
+    # block second-to-last dims must be x8 or the full extent
+    candidates = [h] + [r for r in range(8, h, 8) if h % r == 0]
+    rows = max((r for r in candidates if footprint(r) <= 12 * 1024 * 1024),
+               default=min(candidates),
+               key=lambda r: r)
 
     grid = (b, h // rows, c // c_block)
     kernel = functools.partial(_kernel_cl, diameter=d, rows=rows, h=h, w=w,

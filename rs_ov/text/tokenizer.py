@@ -70,9 +70,33 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def _canonicalize_text(text: str) -> str:
+    """big_vision-style canonicalisation (reference tokenizer.py:104-125):
+    lowercase, punctuation stripped, whitespace collapsed."""
+    import re
+    import string
+
+    text = text.replace("_", " ")
+    text = text.translate(str.maketrans("", "", string.punctuation))
+    text = text.lower()
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def get_clean_fn(kind: str):
+    """(reference tokenizer.py:92-101) 'lower' | 'whitespace' | 'canonicalize'."""
+    if kind == "lower":
+        return lambda t: _whitespace_clean(_basic_clean(t)).lower()
+    if kind == "whitespace":
+        return lambda t: _whitespace_clean(_basic_clean(t))
+    if kind == "canonicalize":
+        return lambda t: _canonicalize_text(_basic_clean(t))
+    raise ValueError(f"Invalid clean function '{kind}'")
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path: str = _BPE_PATH,
-                 context_length: int = DEFAULT_CONTEXT_LENGTH):
+                 context_length: int = DEFAULT_CONTEXT_LENGTH,
+                 clean: str = "lower"):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
@@ -105,6 +129,7 @@ class SimpleTokenizer:
         self.sot_token_id = self.encoder["<start_of_text>"]
         self.eot_token_id = self.encoder["<end_of_text>"]
         self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
 
     def bpe(self, token: str) -> str:
         if token in self._cache:
@@ -144,7 +169,7 @@ class SimpleTokenizer:
 
     def encode(self, text: str) -> List[int]:
         tokens: List[int] = []
-        text = _whitespace_clean(_basic_clean(text)).lower()
+        text = self.clean_fn(text)
         for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
