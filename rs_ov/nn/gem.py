@@ -14,7 +14,6 @@ pytree serves both paths — the "wrapper" is just a different forward.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from rs_ov.core.config import VisionConfig
