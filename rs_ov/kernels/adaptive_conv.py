@@ -226,7 +226,7 @@ def adaptive_conv_pallas_planes(inp: jnp.ndarray, filt_t: jnp.ndarray,
                 + 4 * cb * pad8(h) * pad128(w)
                 + cb * pad8(h) * pad128(w) * inp.dtype.itemsize
                 + 2 * pad8(hpad) * pad128(wpad) * filt_t.dtype.itemsize)
-    while c_block > 8 and (c % c_block != 0 or footprint(c_block) > 9 * 1024 * 1024):
+    while c_block > 8 and (c % c_block != 0 or footprint(c_block) > 6 * 1024 * 1024):
         c_block //= 2
 
     grid = (b, c // c_block)
