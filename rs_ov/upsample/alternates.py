@@ -6,8 +6,15 @@
     nearest upsample + sin/cos positional encodings of the coordinate offset
     through a 1x1-conv MLP with BatchNorm+LeakyReLU.
 
-carafe / sapa wrap external CUDA packages with their own trained weights;
-they are intentionally not ported (registry raises with that rationale).
+  * CARAFE (reference upsamplers.py:160-175 wraps mmcv.ops.CARAFEPack, a CUDA
+    op): content-aware reassembly — a channel compressor + content encoder
+    predict per-position k_up x k_up kernels, pixel-shuffled to the upsampled
+    grid, softmax-normalised, then applied as a spatially-varying conv over
+    the SOURCE grid. Implemented to the mmcv spec in pure XLA (the
+    reassembly reuses the adaptive-conv shift-accumulate pattern).
+
+sapa wraps an external CUDA package with its own trained weights and is
+intentionally not ported (registry raises with that rationale).
 """
 
 from __future__ import annotations
@@ -19,7 +26,8 @@ import numpy as np
 from rs_ov.utils.resize import resize_bilinear
 
 __all__ = ["resize_conv_forward", "init_resize_conv_params",
-           "ifa_forward", "init_ifa_params"]
+           "ifa_forward", "init_ifa_params",
+           "carafe_forward", "init_carafe_params"]
 
 
 def _conv2d_same(x, w, b):
@@ -59,6 +67,70 @@ def init_resize_conv_params(key, dim: int, kernel: int = 1, dtype=jnp.float32) -
          "b": jnp.zeros((dim,), dtype)}
         for k in keys
     ]}
+
+
+# ---------------------------------------------------------------------------
+# CARAFE (content-aware reassembly of features)
+# ---------------------------------------------------------------------------
+
+def carafe_reassemble(x: jnp.ndarray, masks: jnp.ndarray, scale: int,
+                      up_kernel: int) -> jnp.ndarray:
+    """The CARAFE op: out[b,c,i,j] = sum_{p,q} masks[b,(p,q),i,j] *
+    x[b,c, i//scale + p - r, j//scale + q - r], r = up_kernel//2.
+
+    x: [B, C, H, W]; masks: [B, k^2, H*scale, W*scale] (softmaxed).
+    """
+    b, c, h, w = x.shape
+    r = up_kernel // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)))
+    # nearest-upsample each shifted source plane, multiply by its mask plane
+    out = jnp.zeros((b, c, h * scale, w * scale), jnp.float32)
+    for p in range(up_kernel):
+        for q in range(up_kernel):
+            shifted = xp[:, :, p:p + h, q:q + w]
+            up = jnp.repeat(jnp.repeat(shifted, scale, axis=2), scale, axis=3)
+            m = masks[:, p * up_kernel + q][:, None].astype(jnp.float32)
+            out = out + m * up.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def carafe_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
+                   scale: int = 2, up_kernel: int = 3) -> jnp.ndarray:
+    """4 stacked CARAFEPack 2x stages (reference upsamplers.py:160-175);
+    guidance is unused, like the reference's CarafeUpsampler."""
+    del guidance
+    x = source
+    for stage in p["stages"]:
+        compressed = _conv2d_same(x, stage["comp_w"], stage["comp_b"])
+        mask = _conv2d_same(compressed, stage["enc_w"], stage["enc_b"])
+        b, mc, h, w = mask.shape
+        k2 = up_kernel * up_kernel
+        # pixel shuffle: [B, k2*s^2, H, W] -> [B, k2, H*s, W*s]
+        mask = mask.reshape(b, k2, scale, scale, h, w)
+        mask = mask.transpose(0, 1, 4, 2, 5, 3).reshape(b, k2, h * scale, w * scale)
+        mask = jax.nn.softmax(mask.astype(jnp.float32), axis=1)
+        x = carafe_reassemble(x, mask, scale, up_kernel)
+    return x
+
+
+def init_carafe_params(key, dim: int, compressed: int = 64, up_kernel: int = 3,
+                       encoder_kernel: int = 3, scale: int = 2,
+                       dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 8)
+    k2s2 = up_kernel * up_kernel * scale * scale
+    stages = []
+    for i in range(4):
+        kc, ke = keys[2 * i], keys[2 * i + 1]
+        stages.append({
+            "comp_w": (jax.random.normal(kc, (compressed, dim, 1, 1))
+                       * dim ** -0.5).astype(dtype),
+            "comp_b": jnp.zeros((compressed,), dtype),
+            "enc_w": (jax.random.normal(
+                ke, (k2s2, compressed, encoder_kernel, encoder_kernel))
+                * (compressed * encoder_kernel ** 2) ** -0.5).astype(dtype),
+            "enc_b": jnp.zeros((k2s2,), dtype),
+        })
+    return {"stages": stages}
 
 
 # ---------------------------------------------------------------------------

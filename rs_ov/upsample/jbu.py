@@ -264,7 +264,11 @@ def get_upsampler(name: str):
         from rs_ov.upsample.alternates import ifa_forward, init_ifa_params
 
         return ifa_forward, init_ifa_params
+    if name == "carafe":
+        from rs_ov.upsample.alternates import carafe_forward, init_carafe_params
+
+        return carafe_forward, init_carafe_params
     raise ValueError(
         f"Unknown upsampler '{name}' (known: bilinear, jbu_one, jbu_stack, "
-        f"resize_conv, ifa; carafe/sapa need their external training weights "
-        f"and are not ported)")
+        f"resize_conv, ifa, carafe; sapa needs its external training weights "
+        f"and is not ported)")

@@ -64,3 +64,41 @@ def test_ifa_parity():
     # ULP-chaotic (ours is evaluated in f64 — strictly more accurate than the
     # reference) — tolerate the resulting small divergence
     np.testing.assert_allclose(got, expect, atol=3e-2, rtol=3e-2)
+
+
+def test_carafe_reassemble_oracle():
+    """CARAFE reassembly vs a direct numpy oracle of the op's definition."""
+    from rs_ov.upsample.alternates import carafe_reassemble
+
+    rng = np.random.RandomState(3)
+    b, c, h, w, scale, k = 1, 4, 5, 6, 2, 3
+    x = rng.randn(b, c, h, w).astype(np.float32)
+    masks = rng.rand(b, k * k, h * scale, w * scale).astype(np.float32)
+    masks /= masks.sum(axis=1, keepdims=True)
+
+    got = np.asarray(carafe_reassemble(jnp.asarray(x), jnp.asarray(masks),
+                                       scale, k))
+    r = k // 2
+    xp = np.pad(x, ((0, 0), (0, 0), (r, r), (r, r)))
+    expect = np.zeros((b, c, h * scale, w * scale), np.float32)
+    for i in range(h * scale):
+        for j in range(w * scale):
+            si, sj = i // scale, j // scale
+            for p in range(k):
+                for q in range(k):
+                    expect[:, :, i, j] += (masks[:, p * k + q, i, j][:, None]
+                                           * xp[:, :, si + p, sj + q])
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_carafe_forward_shapes():
+    import jax
+
+    from rs_ov.upsample.alternates import carafe_forward, init_carafe_params
+
+    params = init_carafe_params(jax.random.PRNGKey(0), dim=8, compressed=16)
+    src = np.random.RandomState(4).randn(1, 8, 4, 4).astype(np.float32)
+    out = carafe_forward(params, jnp.asarray(src), None)
+    assert out.shape == (1, 8, 64, 64)  # 16x total
+    # masks are softmaxed -> output magnitudes bounded by local maxima
+    assert np.isfinite(np.asarray(out)).all()
