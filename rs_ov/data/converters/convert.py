@@ -108,6 +108,52 @@ def convert_isaid(raw_dir, out_dir, patch=896, stride=512):
                            stem, patch, stride, pad_val=0)
 
 
+def convert_loveda(raw_dir, out_dir):
+    """LoveDA: reorganise the unzipped Train/Val/Test trees (Rural + Urban)
+    into the mmseg images/annotations layout (reference loveda.py:22-74 —
+    pure file moves, no pixel transforms; masks are already index maps)."""
+    import shutil
+
+    split_map = {"Train": "train", "Val": "validation", "Test": "test"}
+    for raw_split, split in split_map.items():
+        for domain in ("Rural", "Urban"):
+            src = osp.join(raw_dir, raw_split, domain)
+            if not osp.isdir(src):
+                continue
+            img_out = osp.join(out_dir, "images", split)
+            ann_out = osp.join(out_dir, "annotations", split)
+            os.makedirs(img_out, exist_ok=True)
+            os.makedirs(ann_out, exist_ok=True)
+            for path in _iter_images(osp.join(src, "images_png")):
+                shutil.copy(path, osp.join(img_out, osp.basename(path)))
+            mask_dir = osp.join(src, "masks_png")
+            if osp.isdir(mask_dir):
+                for path in _iter_images(mask_dir):
+                    shutil.copy(path, osp.join(ann_out, osp.basename(path)))
+
+
+def convert_openearthmap(raw_dir, out_dir, val_list=None):
+    """OpenEarthMap: regions/<name>/{images,labels}/*.tif -> flat
+    img_dir/ann_dir per split, split by the official val file list
+    (reference openearthmap.py pattern)."""
+    import glob as _glob
+    import shutil
+
+    val_names = set()
+    if val_list and osp.exists(val_list):
+        val_names = {line.strip() for line in open(val_list) if line.strip()}
+    for img_path in sorted(_glob.glob(osp.join(raw_dir, "*", "images", "*.tif"))):
+        name = osp.basename(img_path)
+        split = "val" if name in val_names else "train"
+        os.makedirs(osp.join(out_dir, "img_dir", split), exist_ok=True)
+        os.makedirs(osp.join(out_dir, "ann_dir", split), exist_ok=True)
+        shutil.copy(img_path, osp.join(out_dir, "img_dir", split, name))
+        label = img_path.replace(osp.sep + "images" + osp.sep,
+                                 osp.sep + "labels" + osp.sep)
+        if osp.exists(label):
+            shutil.copy(label, osp.join(out_dir, "ann_dir", split, name))
+
+
 def convert_binary(img_dir, ann_dir, out_dir, threshold=128,
                    clip_size=0, stride_size=0):
     """Building/road/water datasets: 0/255 masks -> 0/1 index masks
@@ -167,6 +213,15 @@ def main():
     p.add_argument("--patch", type=int, default=896)
     p.add_argument("--stride", type=int, default=512)
 
+    p = sub.add_parser("loveda")
+    p.add_argument("raw_dir")
+    p.add_argument("-o", "--out_dir", required=True)
+
+    p = sub.add_parser("openearthmap")
+    p.add_argument("raw_dir")
+    p.add_argument("-o", "--out_dir", required=True)
+    p.add_argument("--val_list", default=None)
+
     p = sub.add_parser("binary")
     p.add_argument("img_dir")
     p.add_argument("ann_dir")
@@ -182,6 +237,10 @@ def main():
         convert_uavid(args.raw_dir, args.out_dir, args.clip_size, args.stride_size)
     elif args.dataset == "isaid":
         convert_isaid(args.raw_dir, args.out_dir, args.patch, args.stride)
+    elif args.dataset == "loveda":
+        convert_loveda(args.raw_dir, args.out_dir)
+    elif args.dataset == "openearthmap":
+        convert_openearthmap(args.raw_dir, args.out_dir, args.val_list)
     elif args.dataset == "binary":
         convert_binary(args.img_dir, args.ann_dir, args.out_dir, args.threshold,
                        args.clip_size, args.stride_size)

@@ -312,8 +312,8 @@ class SegmentorEx:
         pad_w = tile_hw[1] + pads[0] + pads[1]
         logits = resize_bilinear(logits, (pad_h, pad_w))
         if any(pads):
-            l, _, tp, _ = pads[0], pads[1], pads[2], pads[3]
-            logits = logits[:, :, tp:tp + tile_hw[0], l:l + tile_hw[1]]
+            left, _, top, _ = pads
+            logits = logits[:, :, top:top + tile_hw[0], left:left + tile_hw[1]]
         return logits
 
     def _build_blip_classifier(self, query_words, templates, vocab_path):

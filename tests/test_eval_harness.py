@@ -143,3 +143,21 @@ def test_pipeline_options_run(opts, tmp_path):
     pred = np.asarray(result["pred_sem_seg"])
     assert pred.shape == (1, 96, 96)
     assert set(np.unique(pred)).issubset({0, 1})
+
+
+def test_multi_shape_jit_cache(tmp_path):
+    """One segmentor serves images of different geometries (per-shape cache)."""
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    seg = SegmentorEx(clip_type="CLIP", vit_type="ViT-B/16",
+                      model_type="ClearCLIP", name_path=str(cls),
+                      clip_config=TINY, param_dtype=jnp.float32,
+                      slide_stride=32, slide_crop=64)
+    rng = np.random.RandomState(0)
+    for shape in ((96, 96), (64, 128), (70, 90)):  # last: pad path
+        img = rng.randn(1, 3, *shape).astype(np.float32)
+        r = seg.predict(img, [{"ori_shape": shape}])[0]
+        assert np.asarray(r["pred_sem_seg"]).shape == (1,) + shape
+    assert len(seg._jit_cache) == 3
