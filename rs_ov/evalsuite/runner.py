@@ -55,15 +55,9 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
              segmentor: Optional[SegmentorEx] = None,
              verbose: bool = True) -> dict:
     cfg = load_config(config_path)
-    if segmentor is None:
-        overrides = dict(model_overrides or {})
-        if save_seg_dir:
-            overrides["result_dir"] = save_seg_dir
-        if save_heatmap_dir:
-            overrides["heatmap_dir"] = save_heatmap_dir
-        segmentor = build_segmentor_from_config(cfg, overrides,
-                                                os.path.dirname(config_path))
 
+    # dataset first: a missing data_root should fail fast, before the
+    # (expensive) model build
     ds_cfg = cfg["test_dataloader"]["dataset"]
     meta = get_dataset_meta(ds_cfg["type"])
     import dataclasses
@@ -77,6 +71,15 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     dataset = SegDataset(ds_cfg["type"], prefix["img_path"],
                          prefix.get("seg_map_path"), meta=meta, shard=shard,
                          max_samples=max_samples)
+
+    if segmentor is None:
+        overrides = dict(model_overrides or {})
+        if save_seg_dir:
+            overrides["result_dir"] = save_seg_dir
+        if save_heatmap_dir:
+            overrides["heatmap_dir"] = save_heatmap_dir
+        segmentor = build_segmentor_from_config(cfg, overrides,
+                                                os.path.dirname(config_path))
 
     metric = IoUMetric(num_classes=len(meta.classes), ignore_index=meta.ignore_index,
                        class_names=meta.classes)
