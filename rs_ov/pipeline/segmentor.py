@@ -113,6 +113,7 @@ class SegmentorEx:
                  param_dtype=None,
                  templates=OPENAI_IMAGENET_TEMPLATES,
                  tile_chunk: int = 0,
+                 mesh=None,  # jax.sharding.Mesh: shard the tile batch over 'data'
                  gem_depth: int = 7,
                  ss_attn_iter: int = 1,
                  ss_attn_temp: Optional[float] = None,
@@ -235,6 +236,7 @@ class SegmentorEx:
         self.result_dir = result_dir
         self.heatmap_dir = heatmap_dir
         self.tile_chunk = tile_chunk
+        self.mesh = mesh
         self.gem_depth = gem_depth
         self.ss_attn_iter = ss_attn_iter
         self.ss_attn_temp = ss_attn_temp
@@ -435,13 +437,26 @@ class SegmentorEx:
         cw = coords[0][3] - coords[0][1]
         pads = compute_padsize(ch, cw, self.patch_size)
 
+        n_tiles = len(coords)
+
         def image_fn(params, upsampler_params, query_features, img):
             del upsampler_params, query_features  # closed over via self
             tiles = extract_tiles(img, coords)  # [T, 3, ch, cw]
             if any(pads):
                 l, r, tp, b = pads
                 tiles = jnp.pad(tiles, ((0, 0), (0, 0), (tp, b), (l, r)))
-            tile_logits = self._forward_tiles(params, tiles.astype(self.param_dtype),
+            tiles = tiles.astype(self.param_dtype)
+            if self.mesh is not None:
+                # tile/spatial parallelism: shard the tile batch over the
+                # 'data' mesh axis — GSPMD partitions the whole decontam
+                # pipeline across chips (uneven tile counts are padded
+                # internally) and inserts any cross-tile collectives (e.g.
+                # for cross-tile fusion) over ICI
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(self.mesh, P("data")))
+            tile_logits = self._forward_tiles(params, tiles,
                                               grid_shape, pads, (ch, cw))
             preds = stitch(tile_logits, coords, h_img, w_img)  # [Q, H, W]
             preds = resize_bilinear(preds, ori_shape)

@@ -15,6 +15,14 @@ from rs_ov.parallel.sharding import shard_params
 from rs_ov.train.losses import clip_loss, siglip_loss
 from rs_ov.train.step import encode_image_train, encode_text_train, make_clip_train_step
 
+TINY2 = CLIPConfig(
+    embed_dim=32,
+    vision=VisionConfig(image_size=64, patch_size=16, width=64, layers=2,
+                        output_dim=32, head_width=32),
+    text=TextConfig(context_length=77, vocab_size=49408, width=32, heads=2,
+                    layers=1, output_dim=32),
+)
+
 TINY = CLIPConfig(
     embed_dim=32,
     vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
@@ -161,3 +169,29 @@ def test_metric_psum_reduction():
     m.merge(states.sum(0))
     r = m.compute()
     assert 0 <= r["mIoU"] <= 100
+
+
+def test_segmentor_mesh_tile_sharding(tmp_path):
+    """SegmentorEx(mesh=...) shards tiles over 'data'; predictions match the
+    meshless run exactly."""
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    kwargs = dict(clip_type="CLIP", vit_type="ViT-B/16",
+                  model_type="Experimental", name_path=str(cls),
+                  clip_config=TINY2, param_dtype=jnp.float32,
+                  apply_similarity_enhancement=True,
+                  apply_outlier_suppression=True,
+                  outlier_suppression_cfg={"top_k": 3},
+                  slide_stride=32, slide_crop=64, seed=7)
+    img = np.random.RandomState(0).randn(1, 3, 96, 96).astype(np.float32)
+    meta = [{"ori_shape": (96, 96)}]
+
+    base = SegmentorEx(**kwargs)
+    ref = np.asarray(base.predict(img, meta)[0]["seg_logits"])
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = SegmentorEx(mesh=mesh, **kwargs)
+    got = np.asarray(sharded.predict(img, meta)[0]["seg_logits"])
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
