@@ -195,3 +195,40 @@ def test_segmentor_mesh_tile_sharding(tmp_path):
     sharded = SegmentorEx(mesh=mesh, **kwargs)
     got = np.asarray(sharded.predict(img, meta)[0]["seg_logits"])
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_train_loop_checkpoint_resume(tmp_path):
+    """Loop runs, checkpoints, and resumes from the newest checkpoint."""
+    from rs_ov.train.loop import latest_checkpoint, train_loop
+    from rs_ov.train.step import make_clip_train_step
+
+    mesh = make_mesh(data=4, model=2)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    params = shard_params(params, mesh)
+    step, init_opt = make_clip_train_step(TINY, mesh)
+    opt_state = init_opt(params)
+
+    rng = np.random.RandomState(0)
+
+    def data_iter():
+        while True:
+            images = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+            texts = np.zeros((8, 16), np.int32)
+            for i in range(8):
+                n = rng.randint(3, 16)
+                texts[i, :n] = rng.randint(1, 127, size=n)
+                texts[i, n - 1] = 127
+            yield images, jnp.asarray(texts)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    params2, opt_state, hist = train_loop(
+        step, params, opt_state, data_iter(), num_steps=3,
+        ckpt_dir=ckpt_dir, ckpt_every=2, log_every=1)
+    assert latest_checkpoint(ckpt_dir).endswith("step_3.npz")
+    assert len(hist) == 3 and all(np.isfinite(h["loss"]) for h in hist)
+
+    # resume: starts from step 3, runs to 5
+    params3, _, hist2 = train_loop(
+        step, params, opt_state, data_iter(), num_steps=5,
+        ckpt_dir=ckpt_dir, ckpt_every=10, log_every=1)
+    assert hist2[0]["step"] == 4
