@@ -400,7 +400,7 @@ class SegmentorEx:
         batched."""
         t = tokens.shape[0]
         chunk = self.tile_chunk or int(os.environ.get(
-            "RS_OV_TILE_CHUNK", "4" if self.apply_sim_feat_up else "0"))
+            "RS_OV_TILE_CHUNK", "2" if self.apply_sim_feat_up else "0"))
         if not chunk or t <= chunk:
             return self._decontam_and_classify(tokens, cls_norm, cls_logits,
                                                tiles, grid_p, pads, tile_hw)
