@@ -65,7 +65,7 @@ def _resolve_arch(clip_type: str, vit_type: str) -> str:
     }
     if clip_type not in table:
         raise NotImplementedError(
-            f"clip_type '{clip_type}' not yet supported (known: {sorted(table)}, BLIP pending)")
+            f"clip_type '{clip_type}' not yet supported (known: {sorted(table)} + BLIP via the dedicated branch)")
     return table[clip_type]
 
 
