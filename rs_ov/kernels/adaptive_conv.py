@@ -211,13 +211,15 @@ def adaptive_conv_pallas_planes(inp: jnp.ndarray, filt_t: jnp.ndarray,
         return -(-x // 128) * 128
 
     # Perf notes (v5e, 16 tiles x 512ch): this config measures 32/38/50/118 ms
-    # for the 28/56/112/224 stages. Alternatives tried and rejected:
-    #   - bulk single-DMA of all tap planes: 40ms @28 (slower — the cost is
-    #     lane-padded VPU work at small W, not DMA latency)
-    #   - XLA fori_loop shifts: 30/158/398 ms — far worse
+    # for the 28/56/112/224 stages (stage 224 is at the VPU roofline).
+    # Alternatives measured and rejected:
+    #   - bulk single-DMA of all tap planes: 40ms @28
+    #   - larger channel blocks (cb=256): 39ms @28
+    #   - XLA fori_loop shifts: 30/158/398 ms
     #   - unrolled XLA adds: 140GB HBM OOM
-    # Small-stage lane utilisation (w=28 -> 128 lanes) is the remaining
-    # headroom; a channels-last layout variant is future work.
+    #   - channels-last Pallas layout: 36/42/81/241 ms
+    #   - XLA unfold+einsum (conv_general_dilated_patches): 63/175 ms @28/56
+    # The small-stage overhead appears intrinsic to this op shape on v5e.
     bulk_taps = False
 
     c_block = c
