@@ -114,6 +114,9 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
             f.write(f"{tag}: " + json.dumps(
                 {k: results[k] for k in ("aAcc", "mIoU", "mAcc",
                                          "num_images", "tiles512_per_sec")}) + "\n")
+        # per-class IoU/Acc table (the mmseg eval-log equivalent)
+        with open(os.path.join(work_dir, f"{tag}_per_class.json"), "w") as f:
+            json.dump(results.get("per_class", {}), f, indent=2)
     return results
 
 

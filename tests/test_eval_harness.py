@@ -161,3 +161,27 @@ def test_multi_shape_jit_cache(tmp_path):
         r = seg.predict(img, [{"ori_shape": shape}])[0]
         assert np.asarray(r["pred_sem_seg"]).shape == (1,) + shape
     assert len(seg._jit_cache) == 3
+
+
+def test_error_paths():
+    """Unknown names fail loudly with helpful messages."""
+    from rs_ov.core.config import get_model_config
+    from rs_ov.data.datasets import get_dataset_meta
+    from rs_ov.upsample.jbu import get_upsampler
+
+    with pytest.raises(KeyError, match="Unknown model"):
+        get_model_config("ViT-Z/99")
+    with pytest.raises(KeyError, match="Unknown dataset"):
+        get_dataset_meta("NopeDataset")
+    with pytest.raises(ValueError, match="Unknown upsampler"):
+        get_upsampler("sapa")
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    with pytest.raises(NotImplementedError, match="clip_type"):
+        SegmentorEx(clip_type="NotAClip", vit_type="B", model_type="vanilla",
+                    name_path="configs/cls_potsdam.txt")
+    with pytest.raises(ValueError, match="incompatible"):
+        SegmentorEx(clip_type="CLIP", vit_type="B", model_type="GEM",
+                    name_path="configs/cls_potsdam.txt",
+                    clip_config=TINY, param_dtype=jnp.float32,
+                    global_debias_factor=0.2)
