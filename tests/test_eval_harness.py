@@ -185,3 +185,33 @@ def test_error_paths():
                     name_path="configs/cls_potsdam.txt",
                     clip_config=TINY, param_dtype=jnp.float32,
                     global_debias_factor=0.2)
+
+
+def test_predict_deterministic_and_forward_feature(tmp_path):
+    """Pure-functional pipeline: repeated predicts are bit-identical; the
+    forward_feature public API returns per-pixel logits; cls_token_lambda
+    engages the CLS-logit debias path."""
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    seg = SegmentorEx(clip_type="CLIP", vit_type="ViT-B/16",
+                      model_type="SegEarth", name_path=str(cls),
+                      clip_config=TINY, param_dtype=jnp.float32,
+                      slide_stride=32, slide_crop=64, cls_token_lambda=-0.3)
+    img = np.random.RandomState(0).randn(1, 3, 96, 96).astype(np.float32)
+    meta = [{"ori_shape": (96, 96)}]
+    a = np.asarray(seg.predict(img, meta)[0]["seg_logits"])
+    b = np.asarray(seg.predict(img, meta)[0]["seg_logits"])
+    np.testing.assert_array_equal(a, b)
+
+    logits = np.asarray(seg.forward_feature(img[:, :, :64, :64]))
+    assert logits.shape == (1, 2, 64, 64)
+
+    # lambda actually changes the output
+    seg0 = SegmentorEx(clip_type="CLIP", vit_type="ViT-B/16",
+                       model_type="SegEarth", name_path=str(cls),
+                       clip_config=TINY, param_dtype=jnp.float32,
+                       slide_stride=32, slide_crop=64, cls_token_lambda=0.0)
+    c = np.asarray(seg0.predict(img, meta)[0]["seg_logits"])
+    assert not np.allclose(a, c)
