@@ -154,6 +154,105 @@ def convert_openearthmap(raw_dir, out_dir, val_list=None):
             shutil.copy(label, osp.join(out_dir, "ann_dir", split, name))
 
 
+def _binary_labels(label_dir, out_dir, strip=None, threshold=128):
+    """Grayscale 0/255 masks -> 0/1 index masks, optional filename-suffix
+    strip (reference whu.py:45-52 / chn6-cug.py:33-37 pattern)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for path in _iter_images(label_dir):
+        mask = np.asarray(Image.open(path).convert("L"))
+        mask = (mask >= threshold).astype(np.uint8)
+        name = osp.basename(path)
+        if strip:
+            name = name.replace(strip, "")
+        save_png(mask, osp.join(out_dir, name))
+
+
+def convert_whu(raw_dir, out_dir):
+    """WHU building: <split>/OUT/ grayscale masks -> <split>/label_cvt/
+    (reference whu.py:29-52; labels only, images used in place)."""
+    for split in ("train", "val", "test"):
+        src = osp.join(raw_dir, split, "OUT")
+        if osp.isdir(src):
+            _binary_labels(src, osp.join(out_dir, split, "label_cvt"))
+
+
+def convert_gt_images(raw_dir, out_dir, image_subdir, strip_mask="_mask",
+                      strip_sat="_sat"):
+    """CHN6-CUG / DeepGlobe-road: gt/*_mask -> label_cvt/ (0/1), copy
+    images/<name>_sat -> image_cvt/ (reference chn6-cug.py:27-43,
+    deepglobe_road.py:27-43 — identical up to the image dir name)."""
+    import shutil
+
+    _binary_labels(osp.join(raw_dir, "gt"), osp.join(out_dir, "label_cvt"),
+                   strip=strip_mask)
+    img_out = osp.join(out_dir, "image_cvt")
+    os.makedirs(img_out, exist_ok=True)
+    for path in _iter_images(osp.join(raw_dir, image_subdir)):
+        shutil.copy(path, osp.join(img_out,
+                                   osp.basename(path).replace(strip_sat, "")))
+
+
+def convert_roadval(raw_dir, out_dir):
+    """RoadVal: gt/ -> label_cvt/ (reference roadval.py:27-36)."""
+    _binary_labels(osp.join(raw_dir, "gt"), osp.join(out_dir, "label_cvt"))
+
+
+def convert_wbs_si(raw_dir, out_dir):
+    """WBS-SI water: Masks/ -> Masks_cvt/ (reference wbs-si.py:27-36)."""
+    _binary_labels(osp.join(raw_dir, "Masks"), osp.join(out_dir, "Masks_cvt"))
+
+
+def convert_xbd(raw_dir, out_dir):
+    """xBD building: targets/ -> targets_cvt/, any damage level >= 1 -> 1,
+    '_target' suffix stripped (reference xBD.py:36-41); keep only 'pre'
+    images downstream per xBD.py:4's note."""
+    _binary_labels(osp.join(raw_dir, "targets"), osp.join(out_dir, "targets_cvt"),
+                   strip="_target", threshold=1)
+
+
+_INRIA_VAL = [
+    "chicago24", "austin27", "kitsap22", "chicago28", "tyrol-w6", "austin8",
+    "kitsap5", "vienna28", "kitsap30", "austin15", "kitsap13", "austin19",
+    "chicago6", "austin9", "chicago12", "vienna7", "kitsap18", "tyrol-w24",
+    "vienna36", "austin29", "tyrol-w19", "vienna29", "chicago1", "tyrol-w12",
+    "tyrol-w22", "austin17", "tyrol-w10"]
+_INRIA_TEST = [
+    "vienna3", "chicago10", "vienna20", "austin1", "tyrol-w25", "vienna9",
+    "chicago14", "vienna18", "kitsap36", "kitsap35", "austin22", "kitsap34",
+    "austin7", "vienna11", "kitsap14", "kitsap25", "austin12", "vienna15",
+    "kitsap9", "austin36", "vienna6", "chicago23", "tyrol-w3", "chicago26",
+    "austin24", "tyrol-w1", "tyrol-w36"]
+
+
+def convert_inria(raw_dir, out_dir, clip_size=1000, stride_size=1000):
+    """Inria building: images/ + gt/ 5000^2 .tifs -> 1000^2 tiles under
+    img_dir/ann_dir per the fixed val/test filename splits; train tiles are
+    skipped like the reference (reference inria.py:89-136; tile grid and
+    `_24label` strip :31-85)."""
+    from PIL import Image
+
+    for path in _iter_images(osp.join(raw_dir, "images"), exts=("tif", "tiff")):
+        name = osp.basename(path)
+        stem = osp.splitext(name)[0]
+        if stem in _INRIA_VAL:
+            split = "split_val"
+        elif stem in _INRIA_TEST:
+            split = "split_test"
+        else:
+            continue  # reference skips train (inria.py:121-122)
+        stem_out = stem.replace("_24label", "")
+        tile_image(_load_rgb(path), osp.join(out_dir, "img_dir", split),
+                   stem_out, clip_size, stride_size)
+        ann = osp.join(raw_dir, "gt", name)
+        if osp.exists(ann):
+            mask = np.asarray(Image.open(ann).convert("L"))
+            mask = (mask >= 128).astype(np.uint8)
+            tile_image(mask, osp.join(out_dir, "ann_dir", split),
+                       stem_out, clip_size, stride_size)
+
+
 def convert_binary(img_dir, ann_dir, out_dir, threshold=128,
                    clip_size=0, stride_size=0):
     """Building/road/water datasets: 0/255 masks -> 0/1 index masks
@@ -222,6 +321,22 @@ def main():
     p.add_argument("-o", "--out_dir", required=True)
     p.add_argument("--val_list", default=None)
 
+    for name in ("whu", "roadval", "wbs-si", "xbd"):
+        p = sub.add_parser(name)
+        p.add_argument("raw_dir")
+        p.add_argument("-o", "--out_dir", required=True)
+
+    for name in ("chn6-cug", "deepglobe_road"):
+        p = sub.add_parser(name)
+        p.add_argument("raw_dir")
+        p.add_argument("-o", "--out_dir", required=True)
+
+    p = sub.add_parser("inria")
+    p.add_argument("raw_dir")
+    p.add_argument("-o", "--out_dir", required=True)
+    p.add_argument("--clip_size", type=int, default=1000)
+    p.add_argument("--stride_size", type=int, default=1000)
+
     p = sub.add_parser("binary")
     p.add_argument("img_dir")
     p.add_argument("ann_dir")
@@ -241,6 +356,21 @@ def main():
         convert_loveda(args.raw_dir, args.out_dir)
     elif args.dataset == "openearthmap":
         convert_openearthmap(args.raw_dir, args.out_dir, args.val_list)
+    elif args.dataset == "whu":
+        convert_whu(args.raw_dir, args.out_dir)
+    elif args.dataset == "roadval":
+        convert_roadval(args.raw_dir, args.out_dir)
+    elif args.dataset == "wbs-si":
+        convert_wbs_si(args.raw_dir, args.out_dir)
+    elif args.dataset == "xbd":
+        convert_xbd(args.raw_dir, args.out_dir)
+    elif args.dataset == "chn6-cug":
+        convert_gt_images(args.raw_dir, args.out_dir, image_subdir="images")
+    elif args.dataset == "deepglobe_road":
+        convert_gt_images(args.raw_dir, args.out_dir, image_subdir="img")
+    elif args.dataset == "inria":
+        convert_inria(args.raw_dir, args.out_dir, args.clip_size,
+                      args.stride_size)
     elif args.dataset == "binary":
         convert_binary(args.img_dir, args.ann_dir, args.out_dir, args.threshold,
                        args.clip_size, args.stride_size)

@@ -176,11 +176,13 @@ def _kernel(filt_hbm, inp_ref, out_ref, acc_ref, filt_vmem, sems,
 def adaptive_conv_pallas(inp: jnp.ndarray, filters: jnp.ndarray,
                          interpret: bool = False) -> jnp.ndarray:
     """inp: [B, C, H+d-1, W+d-1]; filters: [B, H, W, d, d] -> [B, C, H, W]."""
+    from rs_ov.kernels.adaptive_conv_v2 import adaptive_conv_pallas_v2
+
     b, c, hp, wp = inp.shape
     _, h, w, d1, d2 = filters.shape
     assert d1 == d2 and hp == h + d1 - 1 and wp == w + d1 - 1
     filt_t = filters.reshape(b, h, w, d1 * d1).transpose(0, 3, 1, 2)
-    return adaptive_conv_pallas_planes(inp, filt_t, d1, interpret=interpret)
+    return adaptive_conv_pallas_v2(inp, filt_t, d1, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("diameter", "interpret"))

@@ -93,10 +93,95 @@ def get_clean_fn(kind: str):
     raise ValueError(f"Invalid clean function '{kind}'")
 
 
+def random_mask_tokenize(encode_fn, texts, context_length, sot, eot,
+                         shuffle=False, rng=None):
+    """Randomly drop tokens to fit (reference tokenizer.py:274-300);
+    shuffle=False keeps the surviving tokens in order."""
+    rng = rng or np.random
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = np.asarray(encode_fn(text), dtype=np.int32)
+        if len(tokens) > context_length - 2:
+            indices = rng.permutation(len(tokens))[:context_length - 2]
+            if not shuffle:
+                indices = np.sort(indices)
+            tokens = tokens[indices]
+        n = len(tokens)
+        result[i, 0] = sot
+        result[i, 1:n + 1] = tokens
+        result[i, n + 1] = eot
+    return result
+
+
+def simple_mask_tokenize(encode_fn, texts, context_length, sot, eot, rng=None):
+    """Keep a random contiguous block (reference tokenizer.py:303-324)."""
+    rng = rng or np.random
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = list(encode_fn(text))
+        if len(tokens) > context_length - 2:
+            num_keep = context_length - 2
+            start = int(rng.randint(0, len(tokens) - num_keep + 1))
+            tokens = tokens[start:start + num_keep]
+        toks = [sot] + tokens + [eot]
+        result[i, :len(toks)] = toks
+    return result
+
+
+def syntax_mask_tokenize(encode_fn, texts, context_length, sot, eot):
+    """Drop words prioritised by POS tag: nouns > adjectives > verbs > rest
+    (reference tokenizer.py:327-380). Needs nltk + its punkt/tagger data."""
+    try:
+        import nltk
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "syntax reduction masking needs nltk (not available in this "
+            "image); use 'simple'/'random'/'shuffle' instead") from e
+
+    def order(tag):
+        if tag.startswith("NN"):
+            return 1
+        if tag.startswith("JJ"):
+            return 2
+        if tag.startswith("VB"):
+            return 3
+        return 4
+
+    new_texts = []
+    for text in texts:
+        words = nltk.tokenize.word_tokenize(text)
+        tags = [order(t) for _, t in nltk.pos_tag(words)]
+        keep = sorted(np.argsort(np.asarray(tags), kind="stable")[:context_length - 2])
+        new_texts.append(" ".join(words[j] for j in keep))
+
+    result = np.zeros((len(new_texts), context_length), dtype=np.int32)
+    for i, text in enumerate(new_texts):
+        toks = [sot] + list(encode_fn(text)) + [eot]
+        if len(toks) > context_length:  # words can emit several BPE tokens
+            toks = toks[:context_length]
+            toks[-1] = eot
+        result[i, :len(toks)] = toks
+    return result
+
+
+def get_reduction_mask_fn(kind: str):
+    """Token-dropping strategy registry (reference tokenizer.py:383-394)."""
+    if kind == "simple":
+        return simple_mask_tokenize
+    if kind == "random":
+        return random_mask_tokenize
+    if kind == "shuffle":
+        return functools.partial(random_mask_tokenize, shuffle=True)
+    if kind == "syntax":
+        return syntax_mask_tokenize
+    raise ValueError(f"Invalid reduction mask '{kind}' "
+                     "(known: simple, random, shuffle, syntax)")
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path: str = _BPE_PATH,
                  context_length: int = DEFAULT_CONTEXT_LENGTH,
-                 clean: str = "lower"):
+                 clean: str = "lower", reduction_mask: str = ""):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
@@ -130,6 +215,8 @@ class SimpleTokenizer:
         self.eot_token_id = self.encoder["<end_of_text>"]
         self.context_length = context_length
         self.clean_fn = get_clean_fn(clean)
+        self.reduction_fn = (get_reduction_mask_fn(reduction_mask)
+                             if reduction_mask else None)
 
     def bpe(self, token: str) -> str:
         if token in self._cache:
@@ -186,6 +273,9 @@ class SimpleTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         context_length = context_length or self.context_length
+        if self.reduction_fn is not None:
+            return self.reduction_fn(self.encode, texts, context_length,
+                                     self.sot_token_id, self.eot_token_id)
         result = np.zeros((len(texts), context_length), dtype=np.int32)
         for i, text in enumerate(texts):
             toks = [self.sot_token_id] + self.encode(text) + [self.eot_token_id]

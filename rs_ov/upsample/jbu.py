@@ -145,9 +145,9 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
     if jax.default_backend() not in ("cpu",):
         # combined is ALREADY tap-major [B, d*d, H, W] — feed the Pallas
         # kernel directly, skipping a multi-GB transpose round-trip
-        from rs_ov.kernels.adaptive_conv import adaptive_conv_pallas_planes
+        from rs_ov.kernels.adaptive_conv_v2 import adaptive_conv_pallas_v2
 
-        return adaptive_conv_pallas_planes(hr_source_padded, combined, diameter)
+        return adaptive_conv_pallas_v2(hr_source_padded, combined, diameter)
     filt = combined.transpose(0, 2, 3, 1).reshape(gb, gh, gw, diameter, diameter)
     return adaptive_conv(hr_source_padded, filt)
 

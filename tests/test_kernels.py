@@ -67,3 +67,17 @@ def test_adaptive_conv_cl_matches_xla():
     got = np.asarray(adaptive_conv_pallas_cl(jnp.asarray(inp), filt_t, d,
                                              interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+def test_adaptive_conv_v2_rowstream_matches_xla():
+    """v2 tap-row streaming path (dynamic-rotate windows, grid accumulation)."""
+    from rs_ov.kernels.adaptive_conv_v2 import adaptive_conv_pallas_v2
+
+    rng = np.random.RandomState(3)
+    b, c, h, w, d = 2, 16, 16, 16, 5
+    inp = rng.randn(b, c, h + d - 1, w + d - 1).astype(np.float32)
+    filt = rng.rand(b, h, w, d, d).astype(np.float32)
+    ref = np.asarray(adaptive_conv(jnp.asarray(inp), jnp.asarray(filt)))
+    filt_t = jnp.asarray(filt.reshape(b, h, w, d * d).transpose(0, 3, 1, 2))
+    got = np.asarray(adaptive_conv_pallas_v2(jnp.asarray(inp), filt_t, d,
+                                             interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)

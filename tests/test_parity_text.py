@@ -98,3 +98,43 @@ def test_tokenizer_matches_hf_clip():
         ]
         for s in samples:
             assert tok.encode(s) == hf.encode(s, add_special_tokens=False), s
+
+
+class TestReductionMasks:
+    """Reduction-mask tokenizers (reference tokenizer.py:274-394)."""
+
+    def _tok(self, kind):
+        from rs_ov.text.tokenizer import SimpleTokenizer
+        return SimpleTokenizer(context_length=12, reduction_mask=kind)
+
+    def test_short_text_unchanged(self):
+        from rs_ov.text.tokenizer import SimpleTokenizer
+        plain = SimpleTokenizer(context_length=12)
+        for kind in ("simple", "random", "shuffle"):
+            out = self._tok(kind)("a dog")
+            np.testing.assert_array_equal(out, plain("a dog"))
+
+    def test_random_keeps_order(self):
+        tok = self._tok("random")
+        long = "the quick brown fox jumps over the lazy sleeping dog again today"
+        full = tok.encode(long)
+        out = tok(long)[0]
+        assert out[0] == tok.sot_token_id
+        inner = [t for t in out[1:] if t not in (0, tok.eot_token_id)]
+        assert len(inner) == 10  # context 12 - sot - eot
+        # kept tokens are an ordered subsequence of the full encoding
+        it = iter(full)
+        assert all(any(t == u for u in it) for t in inner)
+
+    def test_simple_keeps_contiguous_block(self):
+        tok = self._tok("simple")
+        long = "the quick brown fox jumps over the lazy sleeping dog again today"
+        full = tok.encode(long)
+        inner = [t for t in tok(long)[0][1:] if t not in (0, tok.eot_token_id)]
+        joined = ",".join(map(str, full))
+        assert ",".join(map(str, inner)) in joined
+
+    def test_invalid_kind_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="reduction mask"):
+            self._tok("nope")
