@@ -113,6 +113,7 @@ class SegmentorEx:
                  param_dtype=None,
                  templates=OPENAI_IMAGENET_TEMPLATES,
                  tile_chunk: int = 0,
+                 shape_bucket: int = 0,  # pad images up to multiples of this
                  mesh=None,  # jax.sharding.Mesh: shard the tile batch over 'data'
                  gem_depth: int = 7,
                  ss_attn_iter: int = 1,
@@ -236,6 +237,8 @@ class SegmentorEx:
         self.result_dir = result_dir
         self.heatmap_dir = heatmap_dir
         self.tile_chunk = tile_chunk
+        self.shape_bucket = shape_bucket or int(
+            os.environ.get("RS_OV_SHAPE_BUCKET", "0"))
         self.mesh = mesh
         self.gem_depth = gem_depth
         self.ss_attn_iter = ss_attn_iter
@@ -425,8 +428,13 @@ class SegmentorEx:
         out = out.reshape((n_chunks * chunk,) + out.shape[2:])
         return out[:t]
 
-    def _build_image_fn(self, h_img: int, w_img: int, ori_shape: tuple[int, int]):
-        """Compile the full slide-inference program for one image geometry."""
+    def _build_image_fn(self, h_img: int, w_img: int,
+                        ori_shape: tuple[int, int] | None):
+        """Compile the full slide-inference program for one image geometry.
+
+        ori_shape=None stops at the stitched logit canvas [Q, h_img, w_img]
+        (the shape-bucketing path finishes crop/resize/postprocess in a
+        separate tiny program)."""
         from rs_ov.utils.resize import resize_bilinear
 
         if self.slide_crop > 0:
@@ -459,12 +467,51 @@ class SegmentorEx:
             tile_logits = self._forward_tiles(params, tiles,
                                               grid_shape, pads, (ch, cw))
             preds = stitch(tile_logits, coords, h_img, w_img)  # [Q, H, W]
+            if ori_shape is None:
+                return preds
             preds = resize_bilinear(preds, ori_shape)
             return postprocess_logits(preds, self._onehot,
                                       logit_scale=self.logit_scale,
                                       prob_thd=self.prob_thd, bg_idx=self.bg_idx)
 
         return jax.jit(image_fn)
+
+    def _build_finish_fn(self, h: int, w: int, ori_shape: tuple[int, int]):
+        """Crop a bucket-padded logit canvas back to the true extent, resize
+        to ori_shape and postprocess — a tiny per-shape program (the heavy
+        program is shared per bucket)."""
+        from rs_ov.utils.resize import resize_bilinear
+
+        def finish_fn(canvas):
+            preds = resize_bilinear(canvas[:, :h, :w], ori_shape)
+            return postprocess_logits(preds, self._onehot,
+                                      logit_scale=self.logit_scale,
+                                      prob_thd=self.prob_thd, bg_idx=self.bg_idx)
+
+        return jax.jit(finish_fn)
+
+    def _predict_bucketed(self, img: np.ndarray, ori_shape: tuple[int, int]):
+        """Pad the image up to the shape bucket so heterogeneous-size
+        datasets share one heavy program per bucket. Tiles that straddle the
+        zero-padded margin see padded context, so stitched logits near the
+        right/bottom edge can differ slightly from the exact-shape program
+        (why this is opt-in; the reference always compiles per shape)."""
+        h, w = img.shape[-2], img.shape[-1]
+        b = self.shape_bucket
+        hb = max(-(-h // b) * b, self.slide_crop or 0)
+        wb = max(-(-w // b) * b, self.slide_crop or 0)
+        key = ("bucket", hb, wb)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_image_fn(hb, wb, None)
+        padded = np.zeros(img.shape[:-2] + (hb, wb), img.dtype)
+        padded[..., :h, :w] = img
+        canvas = self._jit_cache[key](
+            self.params, self.upsampler_params, self.query_features,
+            jnp.asarray(padded))
+        fkey = ("finish", hb, wb, h, w, ori_shape)
+        if fkey not in self._jit_cache:
+            self._jit_cache[fkey] = self._build_finish_fn(h, w, ori_shape)
+        return self._jit_cache[fkey](canvas)
 
     # ------------------------------------------------------------------
     # public API
@@ -498,12 +545,15 @@ class SegmentorEx:
             meta = (data_samples[i] if data_samples is not None else None) or {}
             ori_shape = tuple(meta.get("ori_shape", inputs.shape[-2:]))[:2]
             h, w = inputs.shape[-2], inputs.shape[-1]
-            key = (h, w, ori_shape)
-            if key not in self._jit_cache:
-                self._jit_cache[key] = self._build_image_fn(h, w, ori_shape)
-            probs, pred = self._jit_cache[key](
-                self.params, self.upsampler_params, self.query_features,
-                jnp.asarray(inputs[i]))
+            if self.shape_bucket:
+                probs, pred = self._predict_bucketed(inputs[i], ori_shape)
+            else:
+                key = (h, w, ori_shape)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = self._build_image_fn(h, w, ori_shape)
+                probs, pred = self._jit_cache[key](
+                    self.params, self.upsampler_params, self.query_features,
+                    jnp.asarray(inputs[i]))
             result = {"seg_logits": probs, "pred_sem_seg": pred}
             results.append(result)
             self._maybe_dump(result, meta, i)

@@ -215,3 +215,40 @@ def test_predict_deterministic_and_forward_feature(tmp_path):
                        slide_stride=32, slide_crop=64, cls_token_lambda=0.0)
     c = np.asarray(seg0.predict(img, meta)[0]["seg_logits"])
     assert not np.allclose(a, c)
+
+
+def test_shape_bucketing(tmp_path):
+    """shape_bucket shares one heavy program across image sizes in a bucket
+    and matches the exact-shape path bit-for-bit when the image size is
+    already a bucket multiple (no padded margin)."""
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    kwargs = dict(clip_type="CLIP", vit_type="ViT-B/16",
+                  model_type="ClearCLIP", name_path=str(cls),
+                  clip_config=TINY, param_dtype=jnp.float32,
+                  slide_stride=32, slide_crop=64)
+    rng = np.random.RandomState(0)
+
+    exact = SegmentorEx(**kwargs)
+    bucketed = SegmentorEx(shape_bucket=32, **kwargs)
+
+    # bucket-multiple size: identical results
+    img = rng.randn(1, 3, 96, 96).astype(np.float32)
+    r_exact = exact.predict(img, [{"ori_shape": (96, 96)}])[0]
+    r_buck = bucketed.predict(img, [{"ori_shape": (96, 96)}])[0]
+    np.testing.assert_allclose(np.asarray(r_buck["seg_logits"]),
+                               np.asarray(r_exact["seg_logits"]),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r_buck["pred_sem_seg"]),
+                                  np.asarray(r_exact["pred_sem_seg"]))
+
+    # two off-bucket sizes landing in the same (96, 96) bucket share the
+    # heavy program; only tiny finish programs are added
+    for shape in ((70, 90), (85, 66)):
+        img = rng.randn(1, 3, *shape).astype(np.float32)
+        r = bucketed.predict(img, [{"ori_shape": shape}])[0]
+        assert np.asarray(r["pred_sem_seg"]).shape == (1,) + shape
+    heavy = [k for k in bucketed._jit_cache if k[0] == "bucket"]
+    assert heavy == [("bucket", 96, 96)]
