@@ -55,6 +55,19 @@ def main():
     results["vit_decontam_ms"] = 1e3 * measure(
         jax.jit(lambda p, x: vit_forward(p["visual"], x, cfg.vision, call)[1]),
         params, tiles)
+    # finer ViT breakdown: plain tower, then one decontam stage at a time
+    import dataclasses
+    variants = {
+        "vit_plain_ms": dict(apply_similarity_enhancement=False,
+                             apply_outlier_suppression=False),
+        "vit_sim_ms": dict(apply_outlier_suppression=False),
+        "vit_outlier_ms": dict(apply_similarity_enhancement=False),
+    }
+    for key, over in variants.items():
+        c = dataclasses.replace(call, **over)
+        results[key] = 1e3 * measure(
+            jax.jit(lambda p, x, c=c: vit_forward(p["visual"], x, cfg.vision, c)[1]),
+            params, tiles)
     results["jbu_16x_ms"] = 1e3 * measure(
         jax.jit(lambda p, s, g: jbu_one_forward(p, s, g)), jbu, src, tiles, reps=3)
     for size in (28, 56, 112, 224):

@@ -76,17 +76,30 @@ def encode_text_train(params: dict, text_ids: jnp.ndarray, cfg: CLIPConfig,
     return p32 / jnp.maximum(jnp.linalg.norm(p32, axis=-1, keepdims=True), 1e-12)
 
 
-def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = True):
+def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = True,
+                         compute_dtype=None):
     """Build (train_step, init_opt_state). Inputs shard over 'data'; params
     shard per clip_param_shardings over 'model'. Returns a jitted step:
         params, opt_state, images, texts -> (params, opt_state, loss)
+
+    compute_dtype=jnp.bfloat16 runs the TPU mixed-precision recipe: fp32
+    master params and optimizer state, bf16 forward/backward on the MXU
+    (LayerNorm stays fp32 — nn/layers.layer_norm; the contrastive loss,
+    embedding L2-norms and logit_scale stay fp32 at the encoders' output
+    casts). Gradients come back fp32 through the cast.
     """
     optimizer = optimizer or optax.adamw(1e-5)
 
     def loss_fn(params, images, texts):
-        img_f = encode_image_train(params, images, cfg, remat=remat)
-        txt_f = encode_text_train(params, texts, cfg, remat=remat)
-        scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
+        cparams = params
+        if compute_dtype is not None:
+            from rs_ov.core.params import cast_floating
+            cparams = cast_floating(params, compute_dtype)
+            images = images.astype(compute_dtype)
+        img_f = encode_image_train(cparams, images, cfg, remat=remat)
+        txt_f = encode_text_train(cparams, texts, cfg, remat=remat)
+        # scale from the MASTER tree: exp in fp32
+        scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
         return clip_loss(img_f, txt_f, scale)
 
     def train_step(params, opt_state, images, texts):

@@ -232,3 +232,33 @@ def test_train_loop_checkpoint_resume(tmp_path):
         step, params, opt_state, data_iter(), num_steps=5,
         ckpt_dir=ckpt_dir, ckpt_every=10, log_every=1)
     assert hist2[0]["step"] == 4
+
+
+def test_mixed_precision_train_step():
+    """bf16 compute_dtype: loss decreases on a fixed batch, master params
+    stay fp32, and the first-step loss matches the fp32 step closely."""
+    mesh = make_mesh(data=4, model=2)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    step32, init_opt = make_clip_train_step(TINY, mesh)
+    step16, _ = make_clip_train_step(TINY, mesh, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    texts = np.zeros((8, 16), np.int32)
+    for i in range(8):
+        texts[i, :5] = rng.randint(1, 127, size=5)
+        texts[i, 4] = 127
+    texts = jnp.asarray(texts)
+
+    sharded = shard_params(params, mesh)
+    p32, o32, l32 = step32(sharded, init_opt(params), images, texts)
+    p16, o16, l16 = step16(sharded, init_opt(params), images, texts)
+    assert abs(float(l32) - float(l16)) < 0.05 * max(1.0, abs(float(l32)))
+
+    # master params remain fp32 and keep moving; loss goes down
+    assert p16["visual"]["proj"].dtype == jnp.float32
+    losses = [float(l16)]
+    for _ in range(4):
+        p16, o16, l16 = step16(p16, o16, images, texts)
+        losses.append(float(l16))
+    assert losses[-1] < losses[0]
