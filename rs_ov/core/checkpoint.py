@@ -343,3 +343,44 @@ def jbu_params_from_state_dict(sd: Mapping[str, np.ndarray], model_name: str,
             },
         }
     raise ValueError(f"Unknown SimFeatUp model '{model_name}'")
+
+
+def coca_params_from_state_dict(sd: Mapping[str, np.ndarray],
+                                dtype=jnp.float32) -> dict:
+    """Map an open_clip CoCa state dict (reference coca_model.py:80-131
+    naming: visual.* with attn_pool, text.* with cls_emb, text_decoder.*
+    MultimodalTransformer) to an rs_ov.nn.coca pytree."""
+    def pool(prefix):
+        return {
+            "query": jnp.asarray(sd[f"{prefix}.query"], dtype),
+            "ln_q": _ln(sd, f"{prefix}.ln_q", dtype),
+            "ln_k": _ln(sd, f"{prefix}.ln_k", dtype),
+            "q_proj_w": jnp.asarray(sd[f"{prefix}.attn.q_proj_weight"], dtype),
+            "k_proj_w": jnp.asarray(sd[f"{prefix}.attn.k_proj_weight"], dtype),
+            "v_proj_w": jnp.asarray(sd[f"{prefix}.attn.v_proj_weight"], dtype),
+            "in_proj_b": jnp.asarray(sd[f"{prefix}.attn.in_proj_bias"], dtype),
+            "out_proj_w": jnp.asarray(sd[f"{prefix}.attn.out_proj.weight"], dtype),
+            "out_proj_b": jnp.asarray(sd[f"{prefix}.attn.out_proj.bias"], dtype),
+        }
+
+    visual = vision_params_from_state_dict(sd, prefix="visual.", dtype=dtype)
+    visual["attn_pool"] = pool("visual.attn_pool")
+
+    text = text_params_from_state_dict(sd, prefix="text.", dtype=dtype)
+    text["cls_emb"] = jnp.asarray(sd["text.cls_emb"], dtype)
+
+    n = _count_blocks(sd, "text_decoder.resblocks")
+    cross = []
+    for i in range(n):
+        blk = _block(sd, f"text_decoder.cross_attn.{i}", dtype)
+        blk["ln_1_kv"] = _ln(sd, f"text_decoder.cross_attn.{i}.ln_1_kv", dtype)
+        cross.append(blk)
+    multimodal = {
+        "blocks": [_block(sd, f"text_decoder.resblocks.{i}", dtype)
+                   for i in range(n)],
+        "cross_blocks": cross,
+        "ln_final": _ln(sd, "text_decoder.ln_final", dtype),
+        "text_projection": jnp.asarray(sd["text_decoder.text_projection"], dtype),
+    }
+    return {"visual": visual, "text": text, "multimodal": multimodal,
+            "logit_scale": jnp.asarray(sd["logit_scale"], dtype)}
