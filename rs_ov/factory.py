@@ -27,7 +27,7 @@ from rs_ov.nn.vit import VitCallConfig, vit_forward
 from rs_ov.text.encoder import text_forward
 from rs_ov.text.tokenizer import SimpleTokenizer
 
-__all__ = ["CLIPModel", "create_model", "create_model_and_transforms",
+__all__ = ["CLIPModel", "CoCaModel", "create_model", "create_model_and_transforms",
            "get_tokenizer", "image_transform"]
 
 _PRECISIONS = {"fp32": jnp.float32, "fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
@@ -75,13 +75,72 @@ class CLIPModel:
         return (self.cfg.vision.patch_size, self.cfg.vision.patch_size)
 
 
+@dataclasses.dataclass
+class CoCaModel:
+    """Functional CoCa handle (the reference's ``CoCa`` nn.Module surface,
+    coca_model.py:80-268): encode_image / encode_text / forward / generate."""
+
+    cfg: "object"  # rs_ov.nn.coca.CoCaConfig
+    params: dict
+
+    def encode_image(self, images, normalize: bool = True):
+        from rs_ov.nn.coca import coca_encode_image
+        return coca_encode_image(self.params, jnp.asarray(images), self.cfg,
+                                 normalize=normalize)[0]
+
+    def encode_text(self, text_ids, normalize: bool = True):
+        from rs_ov.nn.coca import coca_encode_text
+        return coca_encode_text(self.params, jnp.asarray(text_ids), self.cfg,
+                                normalize=normalize)[0]
+
+    def __call__(self, images, texts=None, **kw):
+        from rs_ov.nn.coca import coca_forward
+        return coca_forward(self.params, jnp.asarray(images),
+                            None if texts is None else jnp.asarray(texts),
+                            self.cfg, **kw)
+
+    def generate(self, images, **kw):
+        from rs_ov.nn.coca import coca_generate
+        return coca_generate(self.params, jnp.asarray(images), self.cfg, **kw)
+
+    @property
+    def logit_scale(self):
+        return jnp.exp(self.params["logit_scale"])
+
+
+def _create_coca(model_name: str, pretrained, dtype, seed: int):
+    from rs_ov.core.checkpoint import coca_params_from_state_dict
+    from rs_ov.nn.coca import coca_base_config, init_coca_params
+
+    cfg = coca_base_config()
+    if "L-14" in model_name:
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, patch_size=14,
+                                            width=1024, layers=24),
+            embed_dim=768)
+    if pretrained and os.path.exists(pretrained):
+        sd = load_torch_state_dict(pretrained)
+        params = cast_floating(coca_params_from_state_dict(sd), dtype)
+    elif pretrained:
+        raise FileNotFoundError(
+            f"No implicit downloads in this environment; pass a local "
+            f"checkpoint path as `pretrained` for {model_name}.")
+    else:
+        params = cast_floating(init_coca_params(jax.random.PRNGKey(seed), cfg),
+                               dtype)
+    return CoCaModel(cfg=cfg, params=params)
+
+
 def create_model(model_name: str, pretrained: Optional[str] = None,
                  precision: str = "fp32", device=None, jit: bool = False,
                  force_quick_gelu: bool = False, seed: int = 0,
-                 **_ignored) -> CLIPModel:
-    """(reference factory.py:165-320). ``pretrained``: local path or tag."""
+                 **_ignored):
+    """(reference factory.py:165-320). ``pretrained``: local path or tag.
+    coca_* model names build a CoCaModel (reference coca_model.py)."""
     del device, jit
     dtype = _PRECISIONS.get(precision, jnp.float32)
+    if model_name.startswith("coca"):
+        return _create_coca(model_name, pretrained, dtype, seed)
     if pretrained and os.path.exists(pretrained):
         sd = load_torch_state_dict(pretrained)
         quick_gelu = force_quick_gelu or "/" in model_name \

@@ -140,3 +140,40 @@ def test_gem_api():
     heat = np.asarray(heat)
     assert heat.shape == (1, 2, 64, 64)
     assert heat.min() >= 0.0 and heat.max() <= 1.0 + 1e-5
+
+
+def test_create_coca_model():
+    """coca_* names build the CoCa stack via the factory (reference
+    factory.py routes multimodal configs to CoCa)."""
+    import dataclasses
+
+    import numpy as np
+
+    from rs_ov.factory import create_model
+
+    model = create_model("coca_ViT-B-32", seed=0)
+    # shrink for test speed: rebuild tiny via the same path
+    from rs_ov.nn.coca import CoCaConfig, MultimodalConfig, init_coca_params
+    from rs_ov.core.config import TextConfig, VisionConfig
+    import jax
+
+    tiny = CoCaConfig(
+        embed_dim=16,
+        vision=VisionConfig(image_size=32, patch_size=16, width=24, layers=2,
+                            output_dim=16, head_width=12),
+        text=TextConfig(context_length=12, vocab_size=64, width=16, heads=2,
+                        layers=2, output_dim=16, pool_type="last"),
+        multimodal=MultimodalConfig(context_length=12, vocab_size=64,
+                                    width=16, heads=2, layers=2),
+        attn_pooler_queries=8, attn_pooler_heads=2)
+    model = dataclasses.replace(
+        model, cfg=tiny, params=init_coca_params(jax.random.PRNGKey(0), tiny))
+
+    img = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32)
+    feats = np.asarray(model.encode_image(img))
+    assert feats.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+    caps = model.generate(img, seq_len=6, min_seq_len=2,
+                          generation_type="top_k", top_k=1,
+                          sot_token_id=1, eos_token_id=2)
+    assert caps.shape[0] == 2
