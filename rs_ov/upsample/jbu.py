@@ -124,13 +124,20 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
 
     proj = _proj2(guidance, p["range_proj"]).astype(jnp.float32)  # [B, key, GH, GW]
     proj_padded = reflect_pad_2d(proj, radius)
-    # range logits: per window offset, <proj(x), proj(x+offset)> — computed as
-    # d^2 shifted channel reductions (no [B,key,d^2,GH,GW] materialisation;
-    # matches reference upsamplers.py:230-238 unfold+einsum math)
+    # range logits: per window offset, <proj(x), proj(x+offset)> — matches
+    # reference upsamplers.py:230-238 unfold+einsum math without the
+    # [B,key,d^2,GH,GW] materialisation. On TPU a Pallas kernel keeps the
+    # projection VMEM-resident (the XLA shifted-reduction stack re-reads it
+    # from HBM per tap and pays a 128x-padded concat layout)
     pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
-    logits = jnp.stack(
-        [jnp.sum(proj_padded[:, :, u:u + gh, v:v + gw] * proj, axis=1)
-         for u in range(diameter) for v in range(diameter)], axis=1)
+    if jax.default_backend() not in ("cpu",):
+        from rs_ov.kernels.range_logits import range_logits_pallas
+
+        logits = range_logits_pallas(proj_padded, proj, diameter)
+    else:
+        logits = jnp.stack(
+            [jnp.sum(proj_padded[:, :, u:u + gh, v:v + gw] * proj, axis=1)
+             for u in range(diameter) for v in range(diameter)], axis=1)
     range_kernel = jax.nn.softmax(logits * pos_temp, axis=1)  # [B, d*d, GH, GW]
 
     combined = range_kernel * _spatial_kernel(diameter, p["sigma_spatial"])

@@ -81,3 +81,19 @@ def test_adaptive_conv_v2_rowstream_matches_xla():
     got = np.asarray(adaptive_conv_pallas_v2(jnp.asarray(inp), filt_t, d,
                                              interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_range_logits_kernel_matches_xla():
+    """JBU range-kernel logits (local self-correlation) vs the shifted
+    channel-reduction reference formulation."""
+    from rs_ov.kernels.range_logits import range_logits_pallas
+
+    rng = np.random.RandomState(4)
+    b, k, h, w, d = 2, 8, 12, 16, 5
+    padded = rng.randn(b, k, h + d - 1, w + d - 1).astype(np.float32)
+    proj = rng.randn(b, k, h, w).astype(np.float32)
+    ref = np.stack([np.sum(padded[:, :, u:u + h, v:v + w] * proj, axis=1)
+                    for u in range(d) for v in range(d)], axis=1)
+    got = np.asarray(range_logits_pallas(jnp.asarray(padded), jnp.asarray(proj),
+                                         d, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
