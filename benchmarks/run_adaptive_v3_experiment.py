@@ -26,6 +26,17 @@ Measured (v5e, min-of-trials, 5 calls queued per sync):
   B=16 224^2: v3 37.14 ms   v2 91.00 ms   2.45x
 (small-shape times are dominated by the tunnelled-TPU dispatch floor ~5 ms;
 inside the jitted JBU pipeline only device time matters)
+
+Follow-ups (measured the same way, B=16 224^2, v5e):
+  v4 (W-chunked bands, K=352->128, 2.75x fewer issued MXU flops): 33.0 ms —
+     only 1.18x over v3: the kernel is matmul-ISSUE bound (78k matmuls of
+     [112,128]@[128,512] at ~420 ns apiece), not flop bound.
+  v5 (concat-K: the d window-rows stacked along the contraction dim, one
+     [112, d*128]@[d*128, 512] matmul per output row, d x fewer issues;
+     halo picked at trace time, no accumulator): 26.9 ms = 1.38x v3,
+     3.4x v2.  PRODUCTION (bf16 path).  Staging the input block into a flat
+     VMEM K-buffer vs per-row concats measured identical (27.7 vs 26.9) —
+     Mosaic already folds the overlapping-row copies.
 """
 
 from __future__ import annotations

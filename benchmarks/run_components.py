@@ -36,6 +36,9 @@ def main():
     from rs_ov.core.config import get_model_config
     from rs_ov.core.params import init_clip_params
     from rs_ov.kernels.adaptive_conv import adaptive_conv_pallas_planes
+    from rs_ov.kernels.adaptive_conv_v2 import adaptive_conv_pallas_v2
+    from rs_ov.kernels.adaptive_conv_v3 import adaptive_conv_pallas_v3
+    from rs_ov.kernels.range_logits import range_logits_pallas
     from rs_ov.nn.vit import VitCallConfig, vit_forward
     from rs_ov.upsample.jbu import init_jbu_one_params, jbu_one_forward
 
@@ -70,16 +73,27 @@ def main():
             params, tiles)
     results["jbu_16x_ms"] = 1e3 * measure(
         jax.jit(lambda p, s, g: jbu_one_forward(p, s, g)), jbu, src, tiles, reps=3)
+    on_tpu = jax.default_backend() != "cpu"
     for size in (28, 56, 112, 224):
         inp = jnp.asarray(rng.randn(16, 512, size + 10, size + 10)
                           .astype(np.float32)).astype(dtype)
         filt = jnp.asarray(rng.rand(16, 121, size, size)
                            .astype(np.float32)).astype(dtype)
         results[f"adaptive_conv_{size}_ms"] = 1e3 * measure(
-            jax.jit(lambda i, f: adaptive_conv_pallas_planes(i, f, 11))
-            if jax.default_backend() != "cpu" else
+            jax.jit(lambda i, f: adaptive_conv_pallas_v3(i, f, 11))
+            if on_tpu else
             jax.jit(lambda i, f: i[:, :, 5:5 + size, 5:5 + size]),
             inp, filt, reps=3)
+        if on_tpu:
+            results[f"adaptive_conv_v2_{size}_ms"] = 1e3 * measure(
+                jax.jit(lambda i, f: adaptive_conv_pallas_v2(i, f, 11)),
+                inp, filt, reps=3)
+            proj = jnp.asarray(rng.randn(16, 32, size + 10, size + 10)
+                               .astype(np.float32))
+            results[f"range_logits_{size}_ms"] = 1e3 * measure(
+                jax.jit(lambda p, q=proj[:, :, 5:5 + size, 5:5 + size]:
+                        range_logits_pallas(p, q, 11)),
+                proj, reps=3)
 
     out = os.path.join(REPO, "benchmarks", "components.json")
     with open(out, "w") as f:

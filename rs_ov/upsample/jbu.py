@@ -152,13 +152,14 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
     if jax.default_backend() not in ("cpu",):
         # combined is ALREADY tap-major [B, d*d, H, W] — feed the Pallas
         # kernel directly, skipping a multi-GB transpose round-trip.
-        # bf16 runs take the v3 MXU banded-matmul kernel (2-2.5x the v2
-        # VPU kernel, numerically identical: bf16 products are exact in
-        # fp32 either way); fp32 runs keep v2's all-fp32 VPU math.
+        # bf16 runs take the v5 MXU concat-K banded-matmul kernel (3.4x the
+        # v2 VPU kernel at the production 224^2 stage, numerically identical:
+        # bf16 products are exact in fp32 either way); fp32 runs keep v2's
+        # all-fp32 VPU math.
         if hr_source_padded.dtype == jnp.bfloat16:
-            from rs_ov.kernels.adaptive_conv_v3 import adaptive_conv_pallas_v3
+            from rs_ov.kernels.adaptive_conv_v5 import adaptive_conv_pallas_v5
 
-            return adaptive_conv_pallas_v3(hr_source_padded, combined, diameter)
+            return adaptive_conv_pallas_v5(hr_source_padded, combined, diameter)
         from rs_ov.kernels.adaptive_conv_v2 import adaptive_conv_pallas_v2
 
         return adaptive_conv_pallas_v2(hr_source_padded, combined, diameter)
