@@ -100,6 +100,22 @@ def test_adaptive_conv_v3_banded_mxu_matches_xla():
     np.testing.assert_allclose(got / scale, ref / scale, atol=8e-3)
 
 
+def test_adaptive_conv_v4_wchunked_matches_xla():
+    """v4 W-chunked banded MXU path (K=128 windows, dual-ref halo)."""
+    from rs_ov.kernels.adaptive_conv_v4 import adaptive_conv_pallas_v4
+
+    rng = np.random.RandomState(6)
+    b, c, h, w, d = 2, 16, 21, 19, 5
+    inp = rng.randn(b, c, h + d - 1, w + d - 1).astype(np.float32)
+    filt = rng.rand(b, h, w, d, d).astype(np.float32)
+    ref = np.asarray(adaptive_conv(jnp.asarray(inp), jnp.asarray(filt)))
+    filt_t = jnp.asarray(filt.reshape(b, h, w, d * d).transpose(0, 3, 1, 2))
+    got = np.asarray(adaptive_conv_pallas_v4(jnp.asarray(inp), filt_t, d,
+                                             interpret=True))
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got / scale, ref / scale, atol=8e-3)
+
+
 def test_adaptive_conv_v5_concat_k_matches_xla():
     """v5 concat-K banded MXU path (one matmul per output row, halo via dual
     input refs + flat VMEM K-buffer). bf16 matmul => bf16-level tolerance."""
