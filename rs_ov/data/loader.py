@@ -23,17 +23,22 @@ __all__ = ["SegSample", "SegDataset"]
 
 @dataclass
 class SegSample:
-    img: np.ndarray          # [3, H, W] float32 normalised
+    img: np.ndarray          # [3, H, W] float32 normalised, or (raw mode)
+                             # [H, W, 3] uint8 RGB for Segmentor.predict_raw
     seg: Optional[np.ndarray]  # [H, W] int64 labels (ignore_index=255) or None
     meta: dict
 
 
 class SegDataset:
-    """Iterable eval dataset; optionally sharded for data-parallel eval."""
+    """Iterable eval dataset; optionally sharded for data-parallel eval.
+
+    raw=True skips host-side normalisation and yields [H, W, 3] uint8 — the
+    Segmentor.predict_raw contract (normalisation fused on device)."""
 
     def __init__(self, dataset_type: str, img_dir: str, seg_dir: str | None = None,
                  meta: DatasetMeta | None = None, shard: tuple[int, int] = (0, 1),
-                 max_samples: int | None = None):
+                 max_samples: int | None = None, raw: bool = False):
+        self.raw = raw
         self.meta = meta or get_dataset_meta(dataset_type)
         self.img_dir = img_dir
         self.seg_dir = seg_dir
@@ -76,7 +81,7 @@ class SegDataset:
                 seg = load_annotation(seg_path, self.meta.reduce_zero_label,
                                       self.meta.ignore_index)
         return SegSample(
-            img=preprocess_image(rgb),
+            img=rgb if self.raw else preprocess_image(rgb),
             seg=seg,
             meta={"img_path": img_path, "ori_shape": rgb.shape[:2],
                   "img_shape": rgb.shape[:2]},

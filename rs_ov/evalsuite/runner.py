@@ -70,7 +70,7 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     prefix = ds_cfg["data_prefix"]
     dataset = SegDataset(ds_cfg["type"], prefix["img_path"],
                          prefix.get("seg_map_path"), meta=meta, shard=shard,
-                         max_samples=max_samples)
+                         max_samples=max_samples, raw=True)
 
     if segmentor is None:
         overrides = dict(model_overrides or {})
@@ -87,14 +87,28 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     n = len(dataset)
     t0 = time.perf_counter()
     pixels = 0
-    for i, sample in enumerate(dataset.prefetch()):
-        result = segmentor.predict(sample.img[None], [sample.meta])[0]
-        pred = np.asarray(result["pred_sem_seg"])[0]
+
+    def consume(pending):
+        nonlocal pixels
+        result, seg = pending
+        pred = np.asarray(result["pred_sem_seg"])[0]  # blocks: device -> host
         pixels += pred.size
-        if sample.seg is not None:
-            metric.process(pred, sample.seg)
+        if seg is not None:
+            metric.process(pred, seg)
+
+    # one-deep software pipeline: enqueue image i's (uint8, device-normalised)
+    # upload + compute, then block on image i-1's result — the host-side
+    # metric update overlaps device compute instead of serialising behind it
+    pending = None
+    for i, sample in enumerate(dataset.prefetch()):
+        result = segmentor.predict_raw(sample.img[None], [sample.meta])[0]
+        if pending is not None:
+            consume(pending)
+        pending = (result, sample.seg)
         if verbose and (i + 1) % 50 == 0:
             print(f"[eval] {i + 1}/{n} images", flush=True)
+    if pending is not None:
+        consume(pending)
     elapsed = time.perf_counter() - t0
 
     results = metric.compute()

@@ -429,12 +429,18 @@ class SegmentorEx:
         return out[:t]
 
     def _build_image_fn(self, h_img: int, w_img: int,
-                        ori_shape: tuple[int, int] | None):
+                        ori_shape: tuple[int, int] | None, raw: bool = False):
         """Compile the full slide-inference program for one image geometry.
 
         ori_shape=None stops at the stitched logit canvas [Q, h_img, w_img]
         (the shape-bucketing path finishes crop/resize/postprocess in a
-        separate tiny program)."""
+        separate tiny program).
+
+        raw=True: the program takes the decoded [H, W, 3] uint8 RGB image and
+        fuses the SegDataPreProcessor mean/std normalisation on device
+        (reference segmentor.py:64-67 — mmengine also normalises on device).
+        This quarters the host->device transfer (uint8 HWC vs fp32 CHW),
+        which matters through the tunnelled-TPU's ~7 MB/ms upload path."""
         from rs_ov.utils.resize import resize_bilinear
 
         if self.slide_crop > 0:
@@ -446,9 +452,13 @@ class SegmentorEx:
         pads = compute_padsize(ch, cw, self.patch_size)
 
         n_tiles = len(coords)
+        mean = jnp.asarray(PREPROC_MEAN, jnp.float32)
+        std = jnp.asarray(PREPROC_STD, jnp.float32)
 
         def image_fn(params, upsampler_params, query_features, img):
             del upsampler_params, query_features  # closed over via self
+            if raw:
+                img = ((img.astype(jnp.float32) - mean) / std).transpose(2, 0, 1)
             tiles = extract_tiles(img, coords)  # [T, 3, ch, cw]
             if any(pads):
                 l, r, tp, b = pads
@@ -503,11 +513,10 @@ class SegmentorEx:
         key = ("bucket", hb, wb)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_image_fn(hb, wb, None)
-        padded = np.zeros(img.shape[:-2] + (hb, wb), img.dtype)
-        padded[..., :h, :w] = img
+        padded = jnp.pad(jnp.asarray(img),
+                         ((0, 0),) * (img.ndim - 2) + ((0, hb - h), (0, wb - w)))
         canvas = self._jit_cache[key](
-            self.params, self.upsampler_params, self.query_features,
-            jnp.asarray(padded))
+            self.params, self.upsampler_params, self.query_features, padded)
         fkey = ("finish", hb, wb, h, w, ori_shape)
         if fkey not in self._jit_cache:
             self._jit_cache[fkey] = self._build_finish_fn(h, w, ori_shape)
@@ -533,13 +542,42 @@ class SegmentorEx:
             logits = resize_bilinear(logits, tuple(logit_size))
         return logits
 
+    def predict_raw(self, inputs, data_samples=None):
+        """predict() on decoded-but-unnormalised images.
+
+        inputs: [B, H, W, 3] uint8 RGB (the decoder's output layout). The
+        mean/std normalisation + HWC->CHW run INSIDE the per-image program
+        (the reference also normalises on device: its mmengine
+        SegDataPreProcessor, reference segmentor.py:64-67), so the host
+        uploads a quarter of the bytes of the fp32 CHW contract — measured
+        ~15 ms/image faster through the tunnelled chip's upload path."""
+        inputs = np.asarray(inputs)
+        results = []
+        for i in range(inputs.shape[0]):
+            meta = (data_samples[i] if data_samples is not None else None) or {}
+            ori_shape = tuple(meta.get("ori_shape", inputs.shape[1:3]))[:2]
+            h, w = inputs.shape[1], inputs.shape[2]
+            key = ("raw", h, w, ori_shape)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = self._build_image_fn(h, w, ori_shape,
+                                                            raw=True)
+            probs, pred = self._jit_cache[key](
+                self.params, self.upsampler_params, self.query_features,
+                jnp.asarray(inputs[i]))
+            result = {"seg_logits": probs, "pred_sem_seg": pred}
+            results.append(result)
+            self._maybe_dump(result, meta, i)
+        return results
+
     def predict(self, inputs, data_samples=None):
-        """inputs: [B, 3, H, W] preprocessed (mean/std-normalised RGB).
+        """inputs: [B, 3, H, W] preprocessed (mean/std-normalised RGB) —
+        numpy, or a device array from :meth:`upload` (no host round-trip).
 
         Returns a list of dicts: {'seg_logits': [C, oh, ow], 'pred_sem_seg':
         [1, oh, ow]} per image (the mmengine PixelData contract, flattened).
         """
-        inputs = np.asarray(inputs)
+        if not isinstance(inputs, jax.Array):
+            inputs = np.asarray(inputs)
         results = []
         for i in range(inputs.shape[0]):
             meta = (data_samples[i] if data_samples is not None else None) or {}

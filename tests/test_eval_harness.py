@@ -217,6 +217,26 @@ def test_predict_deterministic_and_forward_feature(tmp_path):
     assert not np.allclose(a, c)
 
 
+def test_predict_raw_matches_host_normalised(tmp_path):
+    """predict_raw (uint8 HWC in, mean/std fused on device) must equal
+    predict on the host-normalised fp32 CHW image."""
+    from rs_ov.data.transforms import preprocess_image
+    from rs_ov.pipeline.segmentor import SegmentorEx
+
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    seg = SegmentorEx(clip_type="CLIP", vit_type="ViT-B/16",
+                      model_type="SegEarth", name_path=str(cls),
+                      clip_config=TINY, param_dtype=jnp.float32,
+                      slide_stride=32, slide_crop=64)
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 256, (96, 96, 3), dtype=np.uint8)
+    meta = [{"ori_shape": (96, 96)}]
+    a = np.asarray(seg.predict_raw(raw[None], meta)[0]["seg_logits"])
+    b = np.asarray(seg.predict(preprocess_image(raw)[None], meta)[0]["seg_logits"])
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_shape_bucketing(tmp_path):
     """shape_bucket shares one heavy program across image sizes in a bucket
     and matches the exact-shape path bit-for-bit when the image size is
