@@ -500,21 +500,25 @@ class SegmentorEx:
 
         return jax.jit(finish_fn)
 
-    def _predict_bucketed(self, img: np.ndarray, ori_shape: tuple[int, int]):
+    def _predict_bucketed(self, img: np.ndarray, ori_shape: tuple[int, int],
+                          raw: bool = False):
         """Pad the image up to the shape bucket so heterogeneous-size
         datasets share one heavy program per bucket. Tiles that straddle the
         zero-padded margin see padded context, so stitched logits near the
         right/bottom edge can differ slightly from the exact-shape program
-        (why this is opt-in; the reference always compiles per shape)."""
-        h, w = img.shape[-2], img.shape[-1]
+        (why this is opt-in; the reference always compiles per shape).
+        raw=True: [H, W, 3] uint8 input, normalisation fused in-program (the
+        pad margin is uint8-zero, i.e. normalised -mean/std)."""
+        h, w = (img.shape[0], img.shape[1]) if raw else (img.shape[-2], img.shape[-1])
         b = self.shape_bucket
         hb = max(-(-h // b) * b, self.slide_crop or 0)
         wb = max(-(-w // b) * b, self.slide_crop or 0)
-        key = ("bucket", hb, wb)
+        key = ("bucket", hb, wb, raw)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build_image_fn(hb, wb, None)
-        padded = jnp.pad(jnp.asarray(img),
-                         ((0, 0),) * (img.ndim - 2) + ((0, hb - h), (0, wb - w)))
+            self._jit_cache[key] = self._build_image_fn(hb, wb, None, raw=raw)
+        pad_hw = ((0, hb - h), (0, wb - w))
+        pad_spec = pad_hw + ((0, 0),) if raw else ((0, 0),) * (img.ndim - 2) + pad_hw
+        padded = jnp.pad(jnp.asarray(img), pad_spec)
         canvas = self._jit_cache[key](
             self.params, self.upsampler_params, self.query_features, padded)
         fkey = ("finish", hb, wb, h, w, ori_shape)
@@ -557,13 +561,17 @@ class SegmentorEx:
             meta = (data_samples[i] if data_samples is not None else None) or {}
             ori_shape = tuple(meta.get("ori_shape", inputs.shape[1:3]))[:2]
             h, w = inputs.shape[1], inputs.shape[2]
-            key = ("raw", h, w, ori_shape)
-            if key not in self._jit_cache:
-                self._jit_cache[key] = self._build_image_fn(h, w, ori_shape,
-                                                            raw=True)
-            probs, pred = self._jit_cache[key](
-                self.params, self.upsampler_params, self.query_features,
-                jnp.asarray(inputs[i]))
+            if self.shape_bucket:
+                probs, pred = self._predict_bucketed(inputs[i], ori_shape,
+                                                     raw=True)
+            else:
+                key = ("raw", h, w, ori_shape)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = self._build_image_fn(h, w, ori_shape,
+                                                                raw=True)
+                probs, pred = self._jit_cache[key](
+                    self.params, self.upsampler_params, self.query_features,
+                    jnp.asarray(inputs[i]))
             result = {"seg_logits": probs, "pred_sem_seg": pred}
             results.append(result)
             self._maybe_dump(result, meta, i)

@@ -236,6 +236,14 @@ def test_predict_raw_matches_host_normalised(tmp_path):
     b = np.asarray(seg.predict(preprocess_image(raw)[None], meta)[0]["seg_logits"])
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
+    # bucketed raw path: exact-multiple bucket == exact-shape program
+    segb = SegmentorEx(clip_type="CLIP", vit_type="ViT-B/16",
+                       model_type="SegEarth", name_path=str(cls),
+                       clip_config=TINY, param_dtype=jnp.float32,
+                       slide_stride=32, slide_crop=64, shape_bucket=32)
+    c = np.asarray(segb.predict_raw(raw[None], meta)[0]["seg_logits"])
+    np.testing.assert_allclose(a, c, atol=1e-5, rtol=1e-5)
+
 
 def test_shape_bucketing(tmp_path):
     """shape_bucket shares one heavy program across image sizes in a bucket
@@ -271,4 +279,4 @@ def test_shape_bucketing(tmp_path):
         r = bucketed.predict(img, [{"ori_shape": shape}])[0]
         assert np.asarray(r["pred_sem_seg"]).shape == (1,) + shape
     heavy = [k for k in bucketed._jit_cache if k[0] == "bucket"]
-    assert heavy == [("bucket", 96, 96)]
+    assert heavy == [("bucket", 96, 96, False)]
