@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused JBU combined-kernel epilogue + adaptive conv.
+
+Fuses everything between the range logits and the upsampled output of one
+JBU stage (reference simfeatup_dev/upsamplers.py:230-274):
+
+    range_kernel = softmax(logits * pos_temp)        # over the d^2 taps
+    combined     = range_kernel * spatial_gaussian
+    combined    /= max(sum_taps(combined), 1e-7)
+    fixup        = conv1x1(gelu(conv1x1([combined, guidance])))
+    combined'    = combined + 0.1 * fixup
+    out          = adaptive_conv(hr_source, combined')   # v5 concat-K matmuls
+
+In the XLA formulation each of those lines is an HBM round-trip of a
+[B, d^2, H, W] fp32 tensor (~48 MB per 224^2 tile-chunk); here the whole
+epilogue happens once per VMEM block.  The layout is the trick: taps live on
+the LANE axis ([pixels, d^2] with d^2 = 121 <= 128), so the softmax and the
+normalisation are lane reductions, the fixup 1x1 convs are [P, 128] @
+[128, 128] pixel-block matmuls on the MXU (weights padded once in XLA), and
+the adaptive-conv band slab for (output row i, window row u) is the static
+slice combined'[i*WT:(i+1)*WT, u*d:(u+1)*d] of the same scratch — no
+relayout between the epilogue and the conv.
+
+The adaptive-conv half is identical to kernels/adaptive_conv_v5.py (concat-K
+banded matmuls, one MXU issue per output row, dual-ref row halo).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["jbu_epilogue_pallas"]
+
+_HT = 16   # output rows per grid step (>= d-1 so the halo spans <= 2 blocks)
+_WT = 112  # output cols per grid step (WT + d - 1 <= 128 for d <= 17)
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7 — fp32-exact
+    for this use; Mosaic TPU has no erf primitive)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
+            w1_ref, b1_ref, inpa_ref, inpb_ref, out_ref,
+            comb_ref, x_ref, band_ref, *, diameter: int, ht: int, wt: int,
+            dd: int, g: int):
+    d = diameter
+    p = ht * wt
+
+    # ---- combined-kernel epilogue, taps on lanes ----------------------
+    logits = logits_ref[0].reshape(p, dd)                  # [P, d*d] fp32
+    rk = jax.nn.softmax(logits * temp_ref[0], axis=-1)
+    comb = rk * spatial_ref[0, :dd]
+    comb = comb / jnp.clip(jnp.sum(comb, axis=-1, keepdims=True), 1e-7, None)
+
+    # fixup projection: [comb, guidance] -> conv1x1 -> gelu -> conv1x1
+    # (the XLA path casts combined to the guidance dtype for the concat —
+    # reproduce the cast so results match bit-for-bit)
+    guid = guid_ref[0].reshape(p, g).astype(jnp.float32)
+    x = jnp.concatenate(
+        [comb.astype(guid_ref.dtype).astype(jnp.float32), guid], axis=1)
+    x = jnp.pad(x, ((0, 0), (0, 128 - dd - g)))            # [P, 128]
+    mid = _gelu_exact(
+        jax.lax.dot_general(x, w0_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b0_ref[0])
+    fix = jax.lax.dot_general(mid, w1_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) + b1_ref[0]
+    comb_ref[:] = (comb + 0.1 * fix[:, :dd]).astype(jnp.bfloat16)
+
+    # ---- adaptive conv (v5 concat-K banded matmuls) -------------------
+    x_ref[:ht * 128] = inpa_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
+    x_ref[ht * 128:] = inpb_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
+    for i in range(ht):
+        for u in range(d):
+            slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
+            slab = jnp.pad(slab.astype(jnp.float32), ((0, 0), (0, 128 - d)))
+            m = pltpu.roll(slab, 0, axis=1, stride=1, stride_axis=0)
+            band_ref[:, u * 128:(u + 1) * 128] = m.astype(jnp.bfloat16)
+        out_ref[0, i, 0] = jax.lax.dot_general(
+            band_ref[:], x_ref[i * 128:(i + d) * 128],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
+                        guid_t: jnp.ndarray, spatial: jnp.ndarray,
+                        pos_temp: jnp.ndarray, w0: jnp.ndarray,
+                        b0: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                        diameter: int, interpret: bool = False) -> jnp.ndarray:
+    """inp: [B, C, H+d-1, W+d-1] (bicubic-upsampled reflect-padded source);
+    logits_t: [B, H, W, d*d] fp32 range logits (pixel-major);
+    guid_t: [B, H, W, G] guidance (pixel-major, G + d*d <= 128);
+    spatial: [d*d] fp32; pos_temp: scalar fp32;
+    w0: [cmid, d*d+G], b0: [cmid], w1: [d*d, cmid], b1: [d*d] fixup convs
+    -> [B, C, H, W] in inp dtype."""
+    b, c, hp, wp = inp.shape
+    _, h, w, dd = logits_t.shape
+    g = guid_t.shape[-1]
+    d = diameter
+    assert dd == d * d and hp == h + d - 1 and wp == w + d - 1
+    assert dd + g <= 128 and d <= 17
+
+    ht = _HT
+    wt = min(_WT, _pad_to(w, 8))
+    hpad = _pad_to(h, ht)
+    wpad = _pad_to(w, wt)
+    n_hb = hpad // ht
+    n_wb = wpad // wt
+    cp = _pad_to(c, 128)
+
+    inp_t = jnp.pad(inp.transpose(0, 2, 3, 1),
+                    ((0, 0), (0, (n_hb + 1) * ht - hp),
+                     (0, (n_wb - 1) * wt + 128 - wp), (0, cp - c)))
+    inp_win = jnp.stack([inp_t[:, :, i * wt:i * wt + 128] for i in range(n_wb)],
+                        axis=2)
+
+    logits_p = jnp.pad(logits_t, ((0, 0), (0, hpad - h), (0, wpad - w), (0, 0)))
+    guid_p = jnp.pad(guid_t, ((0, 0), (0, hpad - h), (0, wpad - w), (0, 0)))
+
+    cmid = w0.shape[0]
+    # weights once, padded to MXU-friendly [128, 128] operands (transposed:
+    # the kernel right-multiplies pixel-row blocks)
+    w0t = jnp.zeros((128, 128), jnp.float32).at[:dd + g, :cmid].set(
+        w0.reshape(cmid, dd + g).T.astype(jnp.float32))
+    w1t = jnp.zeros((128, 128), jnp.float32).at[:cmid, :dd].set(
+        w1.reshape(dd, cmid).T.astype(jnp.float32))
+    b0p = jnp.zeros((1, 128), jnp.float32).at[0, :cmid].set(
+        b0.astype(jnp.float32))
+    b1p = jnp.zeros((1, 128), jnp.float32).at[0, :dd].set(
+        b1.astype(jnp.float32))
+    temp = jnp.reshape(pos_temp.astype(jnp.float32), (1,))
+    spatial_p = jnp.pad(spatial.astype(jnp.float32).reshape(1, dd),
+                        ((0, 0), (0, 128 - dd)))
+
+    kernel = functools.partial(_kernel, diameter=d, ht=ht, wt=wt, dd=dd, g=g)
+    out_t = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hpad, n_wb, wt, cp), inp.dtype),
+        grid=(b, n_hb, n_wb),
+        in_specs=[
+            pl.BlockSpec((1, ht, wt, dd),
+                         lambda bi, hi, wi: (bi, hi, wi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, wt, g),
+                         lambda bi, hi, wi: (bi, hi, wi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda bi, hi, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((128, 128), lambda bi, hi, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda bi, hi, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda bi, hi, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda bi, hi, wi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, 1, 128, cp),
+                         lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, 1, 128, cp),
+                         lambda bi, hi, wi: (bi, hi + 1, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, 1, wt, cp),
+                               lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ht * wt, dd), jnp.bfloat16),
+                        pltpu.VMEM((2 * ht * 128, cp), jnp.bfloat16),
+                        pltpu.VMEM((wt, d * 128), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(logits_p, guid_p, spatial_p, temp, w0t, b0p, w1t, b1p, inp_win, inp_win)
+
+    out = out_t.reshape(b, hpad, n_wb * wt, cp)
+    return out[:, :h, :w, :c].transpose(0, 3, 1, 2)

@@ -20,6 +20,8 @@ Pallas kernel (rs_ov.kernels.adaptive_conv) supplies the tuned fast path.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,6 +136,22 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
         from rs_ov.kernels.range_logits import range_logits_pallas
 
         logits = range_logits_pallas(proj_padded, proj, diameter)
+        if (guidance.dtype == jnp.bfloat16
+                and os.environ.get("RS_OV_JBU_FUSED", "1") != "0"):
+            # fused epilogue: softmax + spatial + normalise + fixup convs +
+            # adaptive conv in ONE kernel — the [B, d^2, H, W] fp32
+            # intermediates never leave VMEM (kernels/jbu_epilogue.py)
+            from rs_ov.kernels.jbu_epilogue import jbu_epilogue_pallas
+
+            hr_source = resize_bicubic(source, (gh, gw))
+            hr_source_padded = reflect_pad_2d(hr_source, radius)
+            fx = p["fixup_proj"]
+            return jbu_epilogue_pallas(
+                hr_source_padded, logits.transpose(0, 2, 3, 1),
+                guidance.transpose(0, 2, 3, 1),
+                _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
+                pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
+                fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter)
     else:
         logits = jnp.stack(
             [jnp.sum(proj_padded[:, :, u:u + gh, v:v + gw] * proj, axis=1)

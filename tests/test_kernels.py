@@ -133,6 +133,51 @@ def test_adaptive_conv_v5_concat_k_matches_xla():
     np.testing.assert_allclose(got / scale, ref / scale, atol=8e-3)
 
 
+def test_jbu_epilogue_fused_matches_xla_composition():
+    """Fused combined-kernel epilogue (softmax + spatial + normalise + fixup
+    convs + v5 adaptive conv in one kernel) vs the exact XLA op chain it
+    replaces. Bit-exact in interpret mode up to the rational-erf GELU
+    (|erf err| <= 1.5e-7)."""
+    from rs_ov.kernels.jbu_epilogue import jbu_epilogue_pallas
+    from rs_ov.upsample.jbu import _spatial_kernel
+
+    rng = np.random.RandomState(11)
+    b, c, h, w, d, g = 1, 8, 21, 19, 5, 3
+    dd = d * d
+    logits = jnp.asarray(rng.randn(b, dd, h, w).astype(np.float32))
+    guidance = jnp.asarray(rng.randn(b, g, h, w), jnp.bfloat16)
+    inp = jnp.asarray(rng.randn(b, c, h + d - 1, w + d - 1), jnp.bfloat16)
+    w0 = jnp.asarray(rng.randn(dd, dd + g) * 0.2, jnp.bfloat16)
+    b0 = jnp.asarray(rng.randn(dd) * 0.1, jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(dd, dd) * 0.2, jnp.bfloat16)
+    b1 = jnp.asarray(rng.randn(dd) * 0.1, jnp.bfloat16)
+    sigma = jnp.asarray(0.7, jnp.float32)
+    pos_temp = jnp.asarray(1.3, jnp.float32)
+    spatial = _spatial_kernel(d, sigma)
+
+    rk = jax.nn.softmax(logits * pos_temp, axis=1)
+    combined = rk * spatial
+    combined = combined / jnp.clip(jnp.sum(combined, axis=1, keepdims=True),
+                                   1e-7, None)
+    fixup_in = jnp.concatenate([combined.astype(guidance.dtype), guidance], axis=1)
+    x32 = fixup_in.astype(jnp.float32)
+    mid = jax.nn.gelu(
+        jnp.einsum("oc,bchw->bohw", w0.astype(jnp.float32), x32)
+        + b0.astype(jnp.float32)[None, :, None, None], approximate=False)
+    fix = (jnp.einsum("oc,bchw->bohw", w1.astype(jnp.float32), mid)
+           + b1.astype(jnp.float32)[None, :, None, None])
+    combined = (combined + 0.1 * fix).astype(inp.dtype)
+    filt = combined.transpose(0, 2, 3, 1).reshape(b, h, w, d, d)
+    ref = np.asarray(adaptive_conv(inp, filt), np.float32)
+
+    got = np.asarray(jbu_epilogue_pallas(
+        inp, logits.transpose(0, 2, 3, 1), guidance.transpose(0, 2, 3, 1),
+        spatial.reshape(-1), pos_temp, w0, b0, w1, b1, d,
+        interpret=True), np.float32)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
 def test_range_logits_kernel_matches_xla():
     """JBU range-kernel logits (local self-correlation) vs the shifted
     channel-reduction reference formulation."""
