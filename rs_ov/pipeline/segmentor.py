@@ -305,8 +305,17 @@ class SegmentorEx:
 
         f32 = feats.astype(jnp.float32)
         f32 = f32 / jnp.maximum(jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
-        logits = jnp.einsum("tnc,qc->tnq", f32, self.query_features,
-                            preferred_element_type=jnp.float32)
+        if self.param_dtype == jnp.bfloat16:
+            # bf16 operands, fp32 accumulation: halves the HBM read of the
+            # [T, HW, C] normalised features. The reference computes these
+            # cosine logits in fp16 (10 mantissa bits); bf16's 8 total bits
+            # on unit-norm values keeps |err| ~2^-8 per product, fp32-summed
+            logits = jnp.einsum("tnc,qc->tnq", f32.astype(jnp.bfloat16),
+                                self.query_features.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.einsum("tnc,qc->tnq", f32, self.query_features,
+                                preferred_element_type=jnp.float32)
         if self.cls_token_lambda != 0.0:
             logits = logits + cls_logits[:, None, :] * self.cls_token_lambda
 
