@@ -35,9 +35,8 @@ def main():
 
     from rs_ov.core.config import get_model_config
     from rs_ov.core.params import init_clip_params
-    from rs_ov.kernels.adaptive_conv import adaptive_conv_pallas_planes
     from rs_ov.kernels.adaptive_conv_v2 import adaptive_conv_pallas_v2
-    from rs_ov.kernels.adaptive_conv_v3 import adaptive_conv_pallas_v3
+    from rs_ov.kernels.adaptive_conv_v5 import adaptive_conv_pallas_v5
     from rs_ov.kernels.range_logits import range_logits_pallas
     from rs_ov.nn.vit import VitCallConfig, vit_forward
     from rs_ov.upsample.jbu import init_jbu_one_params, jbu_one_forward
@@ -55,6 +54,11 @@ def main():
     src = jnp.asarray(rng.randn(16, 512, 14, 14).astype(np.float32)).astype(dtype)
 
     results = {"device": str(jax.devices()[0]), "tiles": 16}
+    # the tunnelled chip has a per-call dispatch+sync floor that varies with
+    # contention (~5 ms idle, 25+ ms busy) — record it so the per-stage
+    # numbers below can be read as (value - floor) device time
+    results["dispatch_floor_ms"] = 1e3 * measure(
+        jax.jit(lambda x: x + 1), jnp.zeros((8, 128), jnp.float32))
     results["vit_decontam_ms"] = 1e3 * measure(
         jax.jit(lambda p, x: vit_forward(p["visual"], x, cfg.vision, call)[1]),
         params, tiles)
@@ -80,7 +84,7 @@ def main():
         filt = jnp.asarray(rng.rand(16, 121, size, size)
                            .astype(np.float32)).astype(dtype)
         results[f"adaptive_conv_{size}_ms"] = 1e3 * measure(
-            jax.jit(lambda i, f: adaptive_conv_pallas_v3(i, f, 11))
+            jax.jit(lambda i, f: adaptive_conv_pallas_v5(i, f, 11))
             if on_tpu else
             jax.jit(lambda i, f: i[:, :, 5:5 + size, 5:5 + size]),
             inp, filt, reps=3)
