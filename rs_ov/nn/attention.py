@@ -76,7 +76,7 @@ def standard_attention(p: dict, x: jnp.ndarray, heads: int,
     if mask is not None:
         attn = attn + mask.astype(attn.dtype)
     attn = _softmax32(attn)
-    out = _bmm(attn, v.astype(jnp.float32)).astype(x.dtype)
+    out = _bmm(attn.astype(v.dtype), v).astype(x.dtype)
     out = _merge_heads(out)
     out = linear(out, p["out_proj_w"], p["out_proj_b"])
     if need_weights:
@@ -168,9 +168,11 @@ def custom_attn(p: dict, x: jnp.ndarray, *, mode: str, heads: int,
         out = _merge_heads(ctx)
         return linear(out, p["out_proj_w"], p["out_proj_b"])
 
-    q32 = q.astype(jnp.float32)
-    k32 = k.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
+    # operands keep the compute dtype (bf16 on TPU — the docstring contract:
+    # bf16-in/fp32-accumulate via _bmm's preferred_element_type; a full-fp32
+    # MXU matmul is several times slower, and the reference runs these
+    # products in fp16). On the fp32/CPU path these are no-op aliases.
+    q32, k32, v32 = q, k, v
 
     sim = None
     if sim_map is not None:
@@ -214,8 +216,8 @@ def custom_attn(p: dict, x: jnp.ndarray, *, mode: str, heads: int,
         if mode == "NACLIP":
             logits = _bmm(k32, k32.transpose(0, 1, 3, 2)) * scale
         else:
-            qn = jnp.linalg.norm(q32, axis=-1)  # [B, H, L]
-            kn = jnp.linalg.norm(k32, axis=-1)
+            qn = jnp.linalg.norm(q32.astype(jnp.float32), axis=-1)  # [B, H, L]
+            kn = jnp.linalg.norm(k32.astype(jnp.float32), axis=-1)
             norm_outer = qn[:, :, :, None] * kn[:, :, None, :]
             omega = omega * scale * norm_outer
             if mode == "NOnly":
@@ -226,6 +228,6 @@ def custom_attn(p: dict, x: jnp.ndarray, *, mode: str, heads: int,
     else:
         raise ValueError(f"Unknown attention mode '{mode}'. Known: {ATTENTION_MODES}")
 
-    out = _bmm(attn, v32).astype(x.dtype)
+    out = _bmm(attn.astype(v32.dtype), v32).astype(x.dtype)
     out = _merge_heads(out)
     return linear(out, p["out_proj_w"], p["out_proj_b"])

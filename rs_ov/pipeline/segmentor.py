@@ -17,8 +17,6 @@ reference segmentor.py:286,:433).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import os
 from typing import Optional
 
