@@ -102,19 +102,25 @@ def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret", "nhwc"))
 def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                         guid_t: jnp.ndarray, spatial: jnp.ndarray,
                         pos_temp: jnp.ndarray, w0: jnp.ndarray,
                         b0: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
-                        diameter: int, interpret: bool = False) -> jnp.ndarray:
-    """inp: [B, C, H+d-1, W+d-1] (bicubic-upsampled reflect-padded source);
+                        diameter: int, interpret: bool = False,
+                        nhwc: bool = False) -> jnp.ndarray:
+    """inp: [B, C, H+d-1, W+d-1] (bicubic-upsampled reflect-padded source) —
+    or [B, H+d-1, W+d-1, C] with nhwc=True, which also returns [B, H, W, C]
+    and skips both boundary transposes (the layout the kernel uses anyway);
     logits_t: [B, H, W, d*d] fp32 range logits (pixel-major);
     guid_t: [B, H, W, G] guidance (pixel-major, G + d*d <= 128);
     spatial: [d*d] fp32; pos_temp: scalar fp32;
     w0: [cmid, d*d+G], b0: [cmid], w1: [d*d, cmid], b1: [d*d] fixup convs
-    -> [B, C, H, W] in inp dtype."""
-    b, c, hp, wp = inp.shape
+    -> [B, C, H, W] (or [B, H, W, C]) in inp dtype."""
+    if nhwc:
+        b, hp, wp, c = inp.shape
+    else:
+        b, c, hp, wp = inp.shape
     _, h, w, dd = logits_t.shape
     g = guid_t.shape[-1]
     d = diameter
@@ -129,7 +135,7 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     n_wb = wpad // wt
     cp = _pad_to(c, 128)
 
-    inp_t = jnp.pad(inp.transpose(0, 2, 3, 1),
+    inp_t = jnp.pad(inp if nhwc else inp.transpose(0, 2, 3, 1),
                     ((0, 0), (0, (n_hb + 1) * ht - hp),
                      (0, (n_wb - 1) * wt + 128 - wp), (0, cp - c)))
     inp_win = jnp.stack([inp_t[:, :, i * wt:i * wt + 128] for i in range(n_wb)],
@@ -194,5 +200,5 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
         interpret=interpret,
     )(logits_p, guid_p, spatial_p, temp, w0t, b0p, w1t, b1p, inp_win, inp_win)
 
-    out = out_t.reshape(b, hpad, n_wb * wt, cp)
-    return out[:, :h, :w, :c].transpose(0, 3, 1, 2)
+    out = out_t.reshape(b, hpad, n_wb * wt, cp)[:, :h, :w, :c]
+    return out if nhwc else out.transpose(0, 3, 1, 2)

@@ -254,10 +254,14 @@ class SegmentorEx:
         self.apply_sim_feat_up = apply_sim_feat_up
         self.upsampler_name = (sim_feat_up_cfg or {}).get("model_name", "jbu_one")
         self.upsampler_params = None
+        self._upsample_fn_nhwc = None
         if apply_sim_feat_up:
+            from rs_ov.upsample.jbu import get_upsampler_nhwc
+
             self.feat_dim = self.cfg.embed_dim
             fwd, init = get_upsampler(self.upsampler_name)
             self._upsample_fn = fwd
+            self._upsample_fn_nhwc = get_upsampler_nhwc(self.upsampler_name)
             model_path = (sim_feat_up_cfg or {}).get("model_path")
             if upsampler_params is not None:
                 self.upsampler_params = cast_floating(upsampler_params, param_dtype)
@@ -291,11 +295,23 @@ class SegmentorEx:
             tokens = adaptive_debiasing(tokens, labels, cls_norm, factor=-1.5)
 
         if self.apply_sim_feat_up:
-            feats = tokens.transpose(0, 2, 1).reshape(t, -1, gh, gw)
-            feats = self._upsample_fn(self.upsampler_params, feats, tiles)
-            c = feats.shape[1]
-            ph, pw = feats.shape[-2], feats.shape[-1]
-            feats = feats.reshape(t, c, ph * pw).transpose(0, 2, 1)  # [T, HW, C]
+            ph, pw = tiles.shape[-2], tiles.shape[-1]
+            if (self._upsample_fn_nhwc is not None
+                    and tokens.dtype == jnp.bfloat16
+                    and jax.default_backend() not in ("cpu",)):
+                # channel-last path: tokens are [T, HW, C] already — reshape
+                # is free on both ends, the [T,C,H,W]<->[T,H,W,C] passes
+                # around the upsampler disappear (upsample/jbu.py nhwc docs)
+                src = tokens.reshape(t, gh, gw, tokens.shape[-1])
+                up = self._upsample_fn_nhwc(self.upsampler_params, src, tiles)
+                ph, pw = up.shape[1], up.shape[2]
+                feats = up.reshape(t, ph * pw, up.shape[-1])
+            else:
+                feats = tokens.transpose(0, 2, 1).reshape(t, -1, gh, gw)
+                feats = self._upsample_fn(self.upsampler_params, feats, tiles)
+                c = feats.shape[1]
+                ph, pw = feats.shape[-2], feats.shape[-1]
+                feats = feats.reshape(t, c, ph * pw).transpose(0, 2, 1)  # [T, HW, C]
             out_hw = (ph, pw)
         else:
             feats = tokens

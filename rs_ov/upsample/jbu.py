@@ -190,6 +190,94 @@ def _final_fixup(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return _conv1x1(x, p["w"], p["b"]) * 0.1 + x
 
 
+# ---------------------------------------------------------------------------
+# channel-last (NHWC) path — TPU bf16 production layout.
+#
+# The decontaminated tokens arrive [T, HW, C] (channel-last already) and the
+# classifier consumes [T, HW, C]; running the whole 4-stage JBU channel-last
+# means the only layout ops left are the cheap [B,121,H,W] logits transpose
+# and the per-stage pooled-guidance transpose (3 channels) — the three
+# full-size [B,C,H,W]<->[B,H,W,C] passes per stage disappear.
+# ---------------------------------------------------------------------------
+
+def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
+                            radius: int) -> jnp.ndarray:
+    """One JBU step, channel-last: source [B, h, w, C] + guidance [B, 3, GH, GW]
+    (channel-first: the range-projection convs and the range-logits kernel run
+    channel-first on the tiny 3/32-channel tensors) -> [B, GH, GW, C]."""
+    from rs_ov.kernels.jbu_epilogue import jbu_epilogue_pallas
+    from rs_ov.kernels.range_logits import range_logits_pallas
+    from rs_ov.utils.resize import reflect_pad_nhwc, resize_bicubic_nhwc
+
+    diameter = radius * 2 + 1
+    _, _, gh, gw = guidance_cf.shape
+
+    proj = _proj2(guidance_cf, p["range_proj"]).astype(jnp.float32)
+    proj_padded = reflect_pad_2d(proj, radius)
+    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
+    logits = range_logits_pallas(proj_padded, proj, diameter)
+
+    hr = resize_bicubic_nhwc(source, (gh, gw))
+    hr_padded = reflect_pad_nhwc(hr, radius)
+    fx = p["fixup_proj"]
+    return jbu_epilogue_pallas(
+        hr_padded, logits.transpose(0, 2, 3, 1),
+        guidance_cf.transpose(0, 2, 3, 1),
+        _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
+        pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
+        fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter, nhwc=True)
+
+
+def _final_fixup_nhwc(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """_final_fixup on [B, H, W, C]; bf16 operands / fp32 accumulation (the
+    channel-first path's fp32 operands would run the 512x512 channel matmul
+    at the MXU's slow fp32 rate)."""
+    w2 = p["w"].reshape(p["w"].shape[0], -1)
+    y = jnp.einsum("oc,bhwc->bhwo", w2.astype(x.dtype), x,
+                   preferred_element_type=jnp.float32)
+    y = y + p["b"].astype(jnp.float32)
+    return (y * 0.1).astype(x.dtype) + x
+
+
+def jbu_one_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
+                         radius: int = 5) -> jnp.ndarray:
+    """JBUOne channel-last: source [B, h, w, C], guidance [B, 3, GH, GW]
+    -> [B, 16h, 16w, C]."""
+    from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
+
+    x = source
+    for _ in range(4):
+        h, w = x.shape[1], x.shape[2]
+        small_guidance = _pool(guidance_cf, (h * 2, w * 2))
+        x = jbu_module_forward_nhwc(p["up"], x, small_guidance, radius)
+    return _final_fixup_nhwc(x, p["final_fixup"])
+
+
+def jbu_stack_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
+                           radius: int = 3) -> jnp.ndarray:
+    """JBUStack channel-last (four distinct radius-3 modules)."""
+    from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
+
+    x = source
+    for stage in range(4):
+        h, w = x.shape[1], x.shape[2]
+        small_guidance = _pool(guidance_cf, (h * 2, w * 2))
+        x = jbu_module_forward_nhwc(p["ups"][stage], x, small_guidance, radius)
+    return _final_fixup_nhwc(x, p["final_fixup"])
+
+
+def get_upsampler_nhwc(name: str):
+    """Channel-last forward for upsamplers that support it, else None.
+
+    forward(params, source [B,h,w,C], guidance_cf [B,3,GH,GW]) -> [B,GH,GW,C].
+    Only used on the TPU bf16 path (the Pallas epilogue requires bf16)."""
+    if name == "jbu_one":
+        return lambda p, s, g: jbu_one_forward_nhwc(p, s, g, radius=5)
+    if name == "jbu_stack":
+        return lambda p, s, g: jbu_stack_forward_nhwc(p, s, g, radius=3)
+    return None
+
+
 def _staged_upsample(source, guidance, step_fn):
     """4 x2 stages, guidance adaptively pooled to each target size."""
     x = source

@@ -206,3 +206,34 @@ def reflect_pad_2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     """torch F.pad(x, [pad]*4, mode='reflect') over the last two axes."""
     cfg = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)]
     return jnp.pad(x, cfg, mode="reflect")
+
+
+# ---------------------------------------------------------------------------
+# channel-last (NHWC) variants — the TPU-preferred layout: C rides the lane
+# axis, so resizes/pads need no transposes around the Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _apply_separable_nhwc(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+    """Apply (out_h, in_h) / (out_w, in_w) matrices to axes (-3, -2) of
+    [..., H, W, C] — same math and application order as _apply_separable."""
+    dtype = x.dtype
+    wh_j = jnp.asarray(wh, dtype=jnp.float32)
+    ww_j = jnp.asarray(ww, dtype=jnp.float32)
+    y = jnp.einsum("oh,...hwc->...owc", wh_j.astype(dtype), x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    y = jnp.einsum("pw,...owc->...opc", ww_j.astype(dtype), y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(dtype)
+
+
+def resize_bicubic_nhwc(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """resize_bicubic for [..., H, W, C]."""
+    h, w = x.shape[-3], x.shape[-2]
+    return _apply_separable_nhwc(x, _bicubic_matrix(h, out_hw[0]),
+                                 _bicubic_matrix(w, out_hw[1]))
+
+
+def reflect_pad_nhwc(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """reflect_pad_2d for [..., H, W, C] (pads H and W)."""
+    cfg = [(0, 0)] * (x.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)]
+    return jnp.pad(x, cfg, mode="reflect")

@@ -177,6 +177,13 @@ def test_jbu_epilogue_fused_matches_xla_composition():
     scale = np.max(np.abs(ref))
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
 
+    # nhwc=True (channel-last in AND out) is the same computation
+    got_nhwc = np.asarray(jbu_epilogue_pallas(
+        inp.transpose(0, 2, 3, 1), logits.transpose(0, 2, 3, 1),
+        guidance.transpose(0, 2, 3, 1), spatial.reshape(-1), pos_temp,
+        w0, b0, w1, b1, d, interpret=True, nhwc=True), np.float32)
+    np.testing.assert_array_equal(got_nhwc.transpose(0, 3, 1, 2), got)
+
 
 def test_range_logits_kernel_matches_xla():
     """JBU range-kernel logits (local self-correlation) vs the shifted
