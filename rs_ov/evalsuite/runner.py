@@ -78,6 +78,12 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
             overrides["result_dir"] = save_seg_dir
         if save_heatmap_dir:
             overrides["heatmap_dir"] = save_heatmap_dir
+        if (len(meta.classes) < 250
+                and int(cfg["model"].get("bg_idx", 0)) < 250
+                and "pred_dtype" not in overrides):
+            # uint8 prediction downloads (4x smaller per image); every
+            # emitted label fits — metrics run on the host-side int cast
+            overrides["pred_dtype"] = "uint8"
         segmentor = build_segmentor_from_config(cfg, overrides,
                                                 os.path.dirname(config_path))
 
@@ -91,7 +97,7 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     def consume(pending):
         nonlocal pixels
         result, seg = pending
-        pred = np.asarray(result["pred_sem_seg"])[0]  # blocks: device -> host
+        pred = np.asarray(result["pred_sem_seg"])[0].astype(np.int64)  # blocks: device -> host
         pixels += pred.size
         if seg is not None:
             metric.process(pred, seg)

@@ -26,9 +26,11 @@ def query_onehot(query_idx: list[int]) -> np.ndarray:
 
 
 def postprocess_logits(seg_logits: jnp.ndarray, onehot: jnp.ndarray, *,
-                       logit_scale: float, prob_thd: float, bg_idx: int):
+                       logit_scale: float, prob_thd: float, bg_idx: int,
+                       pred_dtype=jnp.int32):
     """seg_logits: [Q, H, W] raw cosine logits. Returns (probs [C,H,W],
-    seg_pred [1,H,W] int32)."""
+    seg_pred [1,H,W] in pred_dtype — int32 default; uint8 shrinks the
+    per-image device->host download 4x when num classes and bg_idx fit)."""
     x = seg_logits.astype(jnp.float32) * logit_scale
     x = jax.nn.softmax(x, axis=0)  # over queries
     num_cls, num_queries = onehot.shape
@@ -36,7 +38,7 @@ def postprocess_logits(seg_logits: jnp.ndarray, onehot: jnp.ndarray, *,
         # merge synonyms: per class, max over its queries (probs are >= 0 so
         # the one-hot-multiply + max trick of the reference is exact)
         x = jnp.max(x[None, :, :, :] * onehot[:, :, None, None], axis=1)
-    seg_pred = jnp.argmax(x, axis=0, keepdims=True).astype(jnp.int32)
+    seg_pred = jnp.argmax(x, axis=0, keepdims=True).astype(pred_dtype)
     seg_pred = jnp.where(jnp.max(x, axis=0, keepdims=True) < prob_thd,
-                         jnp.int32(bg_idx), seg_pred)
+                         jnp.asarray(bg_idx, pred_dtype), seg_pred)
     return x, seg_pred

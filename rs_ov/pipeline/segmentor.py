@@ -111,6 +111,9 @@ class SegmentorEx:
                  param_dtype=None,
                  templates=OPENAI_IMAGENET_TEMPLATES,
                  tile_chunk: int = 0,
+                 pred_dtype=None,  # int32 default; uint8 shrinks the
+                 # per-image pred download 4x (labels must fit — the eval
+                 # runner opts in when the vocabulary allows)
                  shape_bucket: int = 0,  # pad images up to multiples of this
                  mesh=None,  # jax.sharding.Mesh: shard the tile batch over 'data'
                  gem_depth: int = 7,
@@ -226,6 +229,7 @@ class SegmentorEx:
         self.cls_token_lambda = float(cls_token_lambda)
         self.global_debias_factor = float(global_debias_factor)
         self.bg_idx = int(bg_idx)
+        self.pred_dtype = jnp.int32 if pred_dtype is None else jnp.dtype(pred_dtype)
         self.apply_ctd = apply_ctd
         self.ctd_cfg = {"max_points": 8192, "metric": "euclidean",
                         "eps": 1.1, "min_samples": 11}
@@ -505,7 +509,8 @@ class SegmentorEx:
             preds = resize_bilinear(preds, ori_shape)
             return postprocess_logits(preds, self._onehot,
                                       logit_scale=self.logit_scale,
-                                      prob_thd=self.prob_thd, bg_idx=self.bg_idx)
+                                      prob_thd=self.prob_thd, bg_idx=self.bg_idx,
+                                      pred_dtype=self.pred_dtype)
 
         return jax.jit(image_fn)
 
@@ -519,7 +524,8 @@ class SegmentorEx:
             preds = resize_bilinear(canvas[:, :h, :w], ori_shape)
             return postprocess_logits(preds, self._onehot,
                                       logit_scale=self.logit_scale,
-                                      prob_thd=self.prob_thd, bg_idx=self.bg_idx)
+                                      prob_thd=self.prob_thd, bg_idx=self.bg_idx,
+                                      pred_dtype=self.pred_dtype)
 
         return jax.jit(finish_fn)
 

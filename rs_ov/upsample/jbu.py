@@ -14,8 +14,15 @@ Re-implements the reference's learned-range JBU feature upsampler
     production config (reference configs/base_config.py:22-24).
   * ``JBUStack``: four distinct radius-3 modules.
 
-Here the adaptive conv is an unfold + einsum that XLA fuses onto the MXU; a
-Pallas kernel (rs_ov.kernels.adaptive_conv) supplies the tuned fast path.
+On TPU the hot path is two Pallas kernels: range logits
+(rs_ov.kernels.range_logits) and the fused epilogue
+(rs_ov.kernels.jbu_epilogue: tap softmax x spatial kernel, normalise,
+fixup convs, and the adaptive conv as concat-K banded MXU matmuls — the
+kernel lineage is documented in benchmarks/run_adaptive_v3_experiment.py).
+bf16 runs take the fused path (RS_OV_JBU_FUSED=0 reverts to the split
+kernels); fp32 runs use the v2 VPU rowstream kernel; CPU uses a fori_loop
+of shifted multiply-adds. A channel-last (NHWC) variant of the whole stack
+serves the production [T, HW, C] token layout with no boundary transposes.
 """
 
 from __future__ import annotations

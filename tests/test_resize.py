@@ -57,3 +57,19 @@ def test_adaptive_avg_pool(in_hw, out_hw):
     ref = F.adaptive_avg_pool2d(torch.from_numpy(x), out_hw).numpy()
     got = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), out_hw))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_nhwc_variants_match_channel_first():
+    """Channel-last resize/pad helpers == channel-first on transposed data."""
+    from rs_ov.utils.resize import (reflect_pad_2d, reflect_pad_nhwc,
+                                    resize_bicubic, resize_bicubic_nhwc)
+
+    x = np.random.RandomState(4).randn(2, 5, 13, 17).astype(np.float32)
+    xj = jnp.asarray(x)
+    xt = jnp.asarray(x.transpose(0, 2, 3, 1))
+    a = np.asarray(resize_bicubic(xj, (26, 34)))
+    b = np.asarray(resize_bicubic_nhwc(xt, (26, 34))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+    a = np.asarray(reflect_pad_2d(xj, 3))
+    b = np.asarray(reflect_pad_nhwc(xt, 3)).transpose(0, 3, 1, 2)
+    np.testing.assert_array_equal(a, b)
