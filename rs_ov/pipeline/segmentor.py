@@ -259,13 +259,15 @@ class SegmentorEx:
         self.upsampler_name = (sim_feat_up_cfg or {}).get("model_name", "jbu_one")
         self.upsampler_params = None
         self._upsample_fn_nhwc = None
+        self._upsample_classify_nhwc = None
         if apply_sim_feat_up:
-            from rs_ov.upsample.jbu import get_upsampler_nhwc
+            from rs_ov.upsample.jbu import get_upsampler_nhwc, get_upsampler_nhwc_classify
 
             self.feat_dim = self.cfg.embed_dim
             fwd, init = get_upsampler(self.upsampler_name)
             self._upsample_fn = fwd
             self._upsample_fn_nhwc = get_upsampler_nhwc(self.upsampler_name)
+            self._upsample_classify_nhwc = get_upsampler_nhwc_classify(self.upsampler_name)
             model_path = (sim_feat_up_cfg or {}).get("model_path")
             if upsampler_params is not None:
                 self.upsampler_params = cast_floating(upsampler_params, param_dtype)
@@ -298,11 +300,23 @@ class SegmentorEx:
             _, labels = cluster_patch_tokens_dbscan(tokens, (gh, gw), self.ctd_cfg)
             tokens = adaptive_debiasing(tokens, labels, cls_norm, factor=-1.5)
 
+        logits = None
         if self.apply_sim_feat_up:
             ph, pw = tiles.shape[-2], tiles.shape[-1]
-            if (self._upsample_fn_nhwc is not None
-                    and tokens.dtype == jnp.bfloat16
-                    and jax.default_backend() not in ("cpu",)):
+            nhwc_ok = (self._upsample_fn_nhwc is not None
+                       and tokens.dtype == jnp.bfloat16
+                       and jax.default_backend() not in ("cpu",))
+            if nhwc_ok and self._upsample_classify_nhwc is not None:
+                # fully-fused tail: the last JBU stage's kernel also runs
+                # the final-fixup conv, L2 norm and cosine classifier and
+                # emits [T, H, W, Q] logits — the [T, HW, C] upsampled
+                # features never reach HBM (kernels/jbu_epilogue.py)
+                src = tokens.reshape(t, gh, gw, tokens.shape[-1])
+                lg = self._upsample_classify_nhwc(
+                    self.upsampler_params, src, tiles, self.query_features)
+                ph, pw = lg.shape[1], lg.shape[2]
+                logits = lg.reshape(t, ph * pw, lg.shape[-1])
+            elif nhwc_ok:
                 # channel-last path: tokens are [T, HW, C] already — reshape
                 # is free on both ends, the [T,C,H,W]<->[T,H,W,C] passes
                 # around the upsampler disappear (upsample/jbu.py nhwc docs)
@@ -321,19 +335,20 @@ class SegmentorEx:
             feats = tokens
             out_hw = (gh, gw)
 
-        f32 = feats.astype(jnp.float32)
-        f32 = f32 / jnp.maximum(jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
-        if self.param_dtype == jnp.bfloat16:
-            # bf16 operands, fp32 accumulation: halves the HBM read of the
-            # [T, HW, C] normalised features. The reference computes these
-            # cosine logits in fp16 (10 mantissa bits); bf16's 8 total bits
-            # on unit-norm values keeps |err| ~2^-8 per product, fp32-summed
-            logits = jnp.einsum("tnc,qc->tnq", f32.astype(jnp.bfloat16),
-                                self.query_features.astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32)
-        else:
-            logits = jnp.einsum("tnc,qc->tnq", f32, self.query_features,
-                                preferred_element_type=jnp.float32)
+        if logits is None:
+            f32 = feats.astype(jnp.float32)
+            f32 = f32 / jnp.maximum(jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
+            if self.param_dtype == jnp.bfloat16:
+                # bf16 operands, fp32 accumulation: halves the HBM read of the
+                # [T, HW, C] normalised features. The reference computes these
+                # cosine logits in fp16 (10 mantissa bits); bf16's 8 total bits
+                # on unit-norm values keeps |err| ~2^-8 per product, fp32-summed
+                logits = jnp.einsum("tnc,qc->tnq", f32.astype(jnp.bfloat16),
+                                    self.query_features.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+            else:
+                logits = jnp.einsum("tnc,qc->tnq", f32, self.query_features,
+                                    preferred_element_type=jnp.float32)
         if self.cls_token_lambda != 0.0:
             logits = logits + cls_logits[:, None, :] * self.cls_token_lambda
 

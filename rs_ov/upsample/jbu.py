@@ -235,6 +235,90 @@ def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarr
         fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter, nhwc=True)
 
 
+def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
+                                     guidance_cf: jnp.ndarray,
+                                     final_fixup: dict,
+                                     query_features: jnp.ndarray,
+                                     radius: int) -> jnp.ndarray:
+    """Final JBU stage with the pipeline tail fused into the kernel:
+    final-fixup conv + L2 norm + cosine classifier
+    (kernels/jbu_epilogue.jbu_epilogue_classify_pallas) -> [B, GH, GW, Q]
+    fp32 logits."""
+    from rs_ov.kernels.jbu_epilogue import jbu_epilogue_classify_pallas
+    from rs_ov.kernels.range_logits import range_logits_pallas
+    from rs_ov.utils.resize import reflect_pad_nhwc, resize_bicubic_nhwc
+
+    diameter = radius * 2 + 1
+    _, _, gh, gw = guidance_cf.shape
+
+    proj = _proj2(guidance_cf, p["range_proj"]).astype(jnp.float32)
+    proj_padded = reflect_pad_2d(proj, radius)
+    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
+    logits = range_logits_pallas(proj_padded, proj, diameter)
+
+    hr = resize_bicubic_nhwc(source, (gh, gw))
+    hr_padded = reflect_pad_nhwc(hr, radius)
+    fx = p["fixup_proj"]
+    c = source.shape[-1]
+    return jbu_epilogue_classify_pallas(
+        hr_padded, logits.transpose(0, 2, 3, 1),
+        guidance_cf.transpose(0, 2, 3, 1),
+        _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
+        pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
+        fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"],
+        final_fixup["w"].reshape(c, c), final_fixup["b"],
+        query_features, diameter)
+
+
+def jbu_one_forward_nhwc_classify(p: dict, source: jnp.ndarray,
+                                  guidance_cf: jnp.ndarray,
+                                  query_features: jnp.ndarray,
+                                  radius: int = 5) -> jnp.ndarray:
+    """JBUOne channel-last with the classifier fused into the last stage:
+    source [B, h, w, C] + guidance [B, 3, GH, GW] + queries [Q, C]
+    -> [B, 16h, 16w, Q] fp32 cosine logits."""
+    from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
+
+    x = source
+    for _ in range(3):
+        h, w = x.shape[1], x.shape[2]
+        small_guidance = _pool(guidance_cf, (h * 2, w * 2))
+        x = jbu_module_forward_nhwc(p["up"], x, small_guidance, radius)
+    h, w = x.shape[1], x.shape[2]
+    small_guidance = _pool(guidance_cf, (h * 2, w * 2))
+    return jbu_module_forward_nhwc_classify(
+        p["up"], x, small_guidance, p["final_fixup"], query_features, radius)
+
+
+def jbu_stack_forward_nhwc_classify(p: dict, source: jnp.ndarray,
+                                    guidance_cf: jnp.ndarray,
+                                    query_features: jnp.ndarray,
+                                    radius: int = 3) -> jnp.ndarray:
+    """JBUStack channel-last with the fused classifier tail."""
+    from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
+
+    x = source
+    for stage in range(3):
+        h, w = x.shape[1], x.shape[2]
+        small_guidance = _pool(guidance_cf, (h * 2, w * 2))
+        x = jbu_module_forward_nhwc(p["ups"][stage], x, small_guidance, radius)
+    h, w = x.shape[1], x.shape[2]
+    small_guidance = _pool(guidance_cf, (h * 2, w * 2))
+    return jbu_module_forward_nhwc_classify(
+        p["ups"][3], x, small_guidance, p["final_fixup"], query_features, radius)
+
+
+def get_upsampler_nhwc_classify(name: str):
+    """Channel-last forward with the classifier fused into the final JBU
+    stage, else None. forward(params, source [B,h,w,C], guidance_cf
+    [B,3,GH,GW], query_features [Q,C]) -> [B,GH,GW,Q] fp32 logits."""
+    if name == "jbu_one":
+        return lambda p, s, g, qf: jbu_one_forward_nhwc_classify(p, s, g, qf, radius=5)
+    if name == "jbu_stack":
+        return lambda p, s, g, qf: jbu_stack_forward_nhwc_classify(p, s, g, qf, radius=3)
+    return None
+
+
 def _final_fixup_nhwc(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """_final_fixup on [B, H, W, C]; bf16 operands / fp32 accumulation (the
     channel-first path's fp32 operands would run the 512x512 channel matmul

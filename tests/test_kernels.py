@@ -184,6 +184,28 @@ def test_jbu_epilogue_fused_matches_xla_composition():
         w0, b0, w1, b1, d, interpret=True, nhwc=True), np.float32)
     np.testing.assert_array_equal(got_nhwc.transpose(0, 3, 1, 2), got)
 
+    # classify variant == nhwc features -> final fixup -> L2 norm -> bf16
+    # cosine matmul (the segmentor tail it fuses)
+    from rs_ov.kernels.jbu_epilogue import jbu_epilogue_classify_pallas
+    from rs_ov.upsample.jbu import _final_fixup_nhwc
+
+    fw = jnp.asarray(rng.randn(c, c) * 0.2, jnp.bfloat16)
+    fb = jnp.asarray(rng.randn(c) * 0.1, jnp.bfloat16)
+    qf = jnp.asarray(rng.randn(3, c).astype(np.float32))
+    qf = qf / jnp.linalg.norm(qf, axis=-1, keepdims=True)
+    feats = _final_fixup_nhwc(jnp.asarray(got_nhwc, jnp.bfloat16),
+                              {"w": fw, "b": fb})
+    f32 = feats.astype(jnp.float32)
+    f32 = f32 / jnp.maximum(jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
+    want = np.asarray(jnp.einsum("bhwc,qc->bhwq", f32.astype(jnp.bfloat16),
+                                 qf.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32))
+    got_cls = np.asarray(jbu_epilogue_classify_pallas(
+        inp.transpose(0, 2, 3, 1), logits.transpose(0, 2, 3, 1),
+        guidance.transpose(0, 2, 3, 1), spatial.reshape(-1), pos_temp,
+        w0, b0, w1, b1, fw, fb, qf, d, interpret=True))
+    np.testing.assert_allclose(got_cls, want, atol=2e-2)
+
 
 def test_range_logits_kernel_matches_xla():
     """JBU range-kernel logits (local self-correlation) vs the shifted
