@@ -8,19 +8,36 @@ reference configs/base_config.py:2-25 — run as sliding-window inference
 (stride 112, crop 224) over 512^2 images, i.e. 16 ViT+JBU tile forwards per
 unit.
 
-Prints ONE json line:
+Prints ONE json line to stdout:
   {"metric": "512^2 tiles/sec/chip (ViT-B/16)", "value": N,
    "unit": "tiles/s", "vs_baseline": N / cpu_reference_tiles_per_sec}
 
+Hostile-environment hardening (round-1 postmortem: BENCH_r01 rc=124 with an
+empty tail; MULTICHIP_r01 libtpu AOT mismatch):
+  - this parent process never imports jax; the measurement runs in a child
+    (`bench.py --measure`) whose LAST stdout line is always a JSON result;
+  - the child runs a watchdog thread that emits partial results and exits
+    if its deadline passes mid-compile or mid-hang;
+  - per-phase progress lines go to stderr with timestamps;
+  - a "libtpu version mismatch" failure (stale AOT entries in the persistent
+    compile cache after a terminal-side libtpu roll) clears
+    ~/.cache/rs_ov_xla once and retries;
+  - total wall budget: env RS_OV_BENCH_BUDGET seconds (default 420).
+
 The CPU reference number is the reference repo's own torch modules (fp32,
 this machine) measured once and cached in benchmarks/cpu_reference.json.
-The driver-set target is vs_baseline >= 20 (BASELINE.json).
+The driver-set target is vs_baseline >= 20 (BASELINE.json). NOTE the CPU
+baseline is dominated by the reference's pure-python JBU fallback on a
+1-core host, so the ratio is large; see benchmarks/PERF.md for the
+per-component honest comparison.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
@@ -31,51 +48,178 @@ IMG = 512
 # window: report the best of several windows as the chip's capability
 WINDOWS = 4
 REPEATS = 8
+METRIC = "512^2 tiles/sec/chip (ViT-B/16)"
+
+_T0 = time.time()
 
 
-def measure_tpu() -> float:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
-    from rs_ov.pipeline.segmentor import SegmentorEx
 
-    param_dtype = jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") \
-        else jnp.float32
+# --------------------------------------------------------------------------
+# child: the actual measurement (runs under a deadline, always prints JSON)
+# --------------------------------------------------------------------------
 
-    seg = SegmentorEx(
-        clip_type="CLIP", vit_type="ViT-B/16", model_type="Experimental",
-        name_path=os.path.join(REPO, "configs", "cls_potsdam.txt"),
-        ignore_residual=True, apply_sim_feat_up=True,
-        global_debias_factor=0.2,
-        apply_outlier_suppression=True, outlier_suppression_cfg={"top_k": 30},
-        apply_similarity_enhancement=True,
-        prob_thd=0.1, bg_idx=5, param_dtype=param_dtype,
-    )
+def _child_main(deadline_s: float) -> None:
+    import threading
 
-    rng = np.random.RandomState(0)
-    # the production eval contract: decoded uint8 RGB in, normalisation
-    # fused on device (predict_raw — reference-parity with mmengine's
-    # device-side SegDataPreProcessor, and 4x less tunnel upload)
-    img = rng.randint(0, 256, (1, IMG, IMG, 3), dtype=np.uint8)
-    meta = [{"ori_shape": (IMG, IMG)}]
+    result = {
+        "metric": METRIC, "value": 0.0, "unit": "tiles/s",
+        "vs_baseline": 0.0, "error": "no measurement completed",
+    }
+    lock = threading.Lock()
 
-    # compile + warmup
-    r = seg.predict_raw(img, meta)[0]
-    np.asarray(r["pred_sem_seg"])
+    def emit_and_exit(code: int = 0) -> None:
+        with lock:
+            line = json.dumps(result)
+        print(line, flush=True)
+        # os._exit: do not risk hanging in tunnel/backend teardown
+        os._exit(code)
 
-    best = float("inf")
-    for _ in range(WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            r = seg.predict_raw(img, meta)[0]
+    def watchdog() -> None:
+        remain = deadline_s - (time.time() - _T0)
+        if remain > 0:
+            time.sleep(remain)
+        _log("child deadline reached — emitting partial result")
+        emit_and_exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    cpu_ref = None
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cpu_ref = json.load(f)["tiles512_per_sec"]
+
+    def update(value: float, note: str | None) -> None:
+        with lock:
+            result["value"] = round(value, 4)
+            if cpu_ref:
+                result["vs_baseline"] = round(value / cpu_ref, 2)
+            if note is None:
+                result.pop("error", None)
+                result.pop("partial", None)
+            else:
+                result.pop("error", None)
+                result["partial"] = note
+
+    try:
+        _log("importing jax / initialising backend...")
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rs_ov.pipeline.segmentor import SegmentorEx
+
+        backend = jax.default_backend()
+        _log(f"backend = {backend}, devices = {jax.devices()}")
+
+        param_dtype = jnp.bfloat16 if backend in ("tpu", "axon") else jnp.float32
+
+        _log("building SegmentorEx (text classifier encode + compile)...")
+        seg = SegmentorEx(
+            clip_type="CLIP", vit_type="ViT-B/16", model_type="Experimental",
+            name_path=os.path.join(REPO, "configs", "cls_potsdam.txt"),
+            ignore_residual=True, apply_sim_feat_up=True,
+            global_debias_factor=0.2,
+            apply_outlier_suppression=True,
+            outlier_suppression_cfg={"top_k": 30},
+            apply_similarity_enhancement=True,
+            prob_thd=0.1, bg_idx=5, param_dtype=param_dtype,
+        )
+
+        rng = np.random.RandomState(0)
+        # the production eval contract: decoded uint8 RGB in, normalisation
+        # fused on device (predict_raw — reference-parity with mmengine's
+        # device-side SegDataPreProcessor, and 4x less tunnel upload)
+        img = rng.randint(0, 256, (1, IMG, IMG, 3), dtype=np.uint8)
+        meta = [{"ori_shape": (IMG, IMG)}]
+
+        _log("warmup predict (compiles the fused per-geometry program)...")
+        r = seg.predict_raw(img, meta)[0]
         np.asarray(r["pred_sem_seg"])
-        best = min(best, (time.perf_counter() - t0) / REPEATS)
-    return 1.0 / best
+        _log("warmup done; timing windows...")
+
+        best = float("inf")
+        for w in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                r = seg.predict_raw(img, meta)[0]
+            np.asarray(r["pred_sem_seg"])
+            best = min(best, (time.perf_counter() - t0) / REPEATS)
+            update(1.0 / best, None if w == WINDOWS - 1
+                   else f"window {w + 1}/{WINDOWS}")
+            _log(f"window {w + 1}/{WINDOWS}: best so far {1.0 / best:.2f} tiles/s")
+
+        emit_and_exit(0)
+    except BaseException as e:  # noqa: BLE001 — must always emit JSON
+        msg = f"{type(e).__name__}: {e}"
+        _log(f"child failed: {msg.splitlines()[0][:300]}")
+        with lock:
+            if "value" in result and result["value"] == 0.0:
+                result["error"] = msg[:500]
+            if "libtpu version mismatch" in msg:
+                result["retry_after_cache_clear"] = True
+        emit_and_exit(0)
 
 
-def measure_cpu_reference() -> float:
-    """Time the reference's own torch modules on one 512^2 slide inference."""
+# --------------------------------------------------------------------------
+# parent: orchestrate, enforce budget, clear stale AOT cache, retry once
+# --------------------------------------------------------------------------
+
+def _run_child(deadline_s: float) -> dict | None:
+    """Run the measurement child; return its parsed JSON line (or None)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure",
+           f"{deadline_s:.1f}"]
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=None,
+            timeout=deadline_s + 30, cwd=REPO, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _log("child exceeded hard timeout (watchdog failed?)")
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    budget = float(os.environ.get("RS_OV_BENCH_BUDGET", "420"))
+    deadline = _T0 + budget
+
+    result = {"metric": METRIC, "value": 0.0, "unit": "tiles/s",
+              "vs_baseline": 0.0, "error": "benchmark did not run"}
+    for attempt in (1, 2):
+        remain = deadline - time.time() - 20  # keep 20s to report
+        if remain < 45:
+            result.setdefault("error", "budget exhausted before measurement")
+            break
+        _log(f"attempt {attempt}: child deadline {remain:.0f}s")
+        parsed = _run_child(remain)
+        if parsed is not None:
+            result = parsed
+        if parsed and parsed.pop("retry_after_cache_clear", False) and attempt == 1:
+            cache_dir = os.environ.get(
+                "RS_OV_COMPILE_CACHE", os.path.expanduser("~/.cache/rs_ov_xla"))
+            _log(f"stale AOT compile cache ({cache_dir}) — clearing and retrying")
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            continue
+        break
+
+    print(json.dumps(result), flush=True)
+
+
+def _measure_cpu_reference() -> None:
+    """Regenerate benchmarks/cpu_reference.json: time the reference's own
+    torch modules (fp32, AdaptiveConv -> its adaptive_conv_py_simple
+    fallback) on one 224^2 tile and scale to the 16 tiles of a 512^2 slide
+    (reference segmentor.py:411-412)."""
     import numpy as np
     import torch
 
@@ -96,21 +240,16 @@ def measure_cpu_reference() -> float:
 
     torch.manual_seed(0)
     vit = tmod.VisionTransformer(image_size=224, patch_size=16, width=768,
-                                 layers=12, heads=12, mlp_ratio=4.0, output_dim=512)
+                                 layers=12, heads=12, mlp_ratio=4.0,
+                                 output_dim=512)
     vit.similarity_enhancer = sim_mod.SimilarityEnhancementModule(1.0, 1.0, True)
     vit.outlier_suppressor = os_mod.OutlierSuppressionModule(top_k=30)
     jbu = ups.JBUOne(512)
-    vit.eval()
-    jbu.eval()
+    vit.eval(); jbu.eval()
     qf = torch.randn(6, 512)
     qf = qf / qf.norm(dim=-1, keepdim=True)
-
-    rng = np.random.RandomState(0)
-    crop = 224
-    tile = torch.from_numpy(rng.randn(1, 3, crop, crop).astype(np.float32))
-    # a 512^2 image at stride 112 is exactly 16 such tile forwards
-    # (reference segmentor.py:411-412), so time one tile and scale
-    tiles_per_image = 16
+    tile = torch.from_numpy(
+        np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32))
 
     def one_tile():
         with torch.no_grad():
@@ -123,40 +262,26 @@ def measure_cpu_reference() -> float:
             feats = feats - cls_tok.unsqueeze(1) * (s.unsqueeze(-1) * 0.2)
             fmap = feats.permute(0, 2, 1).view(1, 512, 14, 14)
             up = jbu(fmap, tile)
-            up = up.view(1, 512, crop * crop).permute(0, 2, 1)
+            up = up.view(1, 512, 224 * 224).permute(0, 2, 1)
             up = up / up.norm(dim=-1, keepdim=True)
-            return (up @ qf.T).permute(0, 2, 1).reshape(1, 6, crop, crop)
+            return (up @ qf.T).permute(0, 2, 1).reshape(1, 6, 224, 224)
 
     one_tile()  # warmup
     t0 = time.perf_counter()
     one_tile()
-    t_tile = time.perf_counter() - t0
-    return 1.0 / (tiles_per_image * t_tile)
-
-
-def get_cpu_reference() -> float:
-    if os.path.exists(CACHE):
-        with open(CACHE) as f:
-            return json.load(f)["tiles512_per_sec"]
-    tps = measure_cpu_reference()
+    tps = 1.0 / (16 * (time.perf_counter() - t0))
     os.makedirs(os.path.dirname(CACHE), exist_ok=True)
     with open(CACHE, "w") as f:
         json.dump({"tiles512_per_sec": tps,
                    "note": "reference torch modules, fp32, single CPU process"},
                   f, indent=2)
-    return tps
-
-
-def main():
-    cpu = get_cpu_reference()
-    tps = measure_tpu()
-    print(json.dumps({
-        "metric": "512^2 tiles/sec/chip (ViT-B/16)",
-        "value": round(tps, 4),
-        "unit": "tiles/s",
-        "vs_baseline": round(tps / cpu, 2),
-    }))
+    _log(f"cpu reference: {tps:.6f} tiles/s -> {CACHE}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        _child_main(float(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cpu-reference":
+        _measure_cpu_reference()
+    else:
+        main()

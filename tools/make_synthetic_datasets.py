@@ -2,13 +2,20 @@
 """Generate tiny synthetic datasets for every eval config.
 
 No real remote-sensing data exists in this zero-egress image; this writes a
-few random images + label masks per config into the ``data_prefix`` paths the
-configs point at, so ``eval_all.py`` can be smoke-run end-to-end (configs,
-loaders, per-dataset label conventions, metrics, result writers) on real
-hardware. Metrics on random weights + random data are meaningless — the point
-is exercising every dataset path.
+few random images + label masks per config under ``data_synth/`` (mirroring
+each config's ``data_prefix`` layout) so ``eval_all.py`` can be smoke-run
+end-to-end (configs, loaders, per-dataset label conventions, metrics, result
+writers) on real hardware. Metrics on random weights + random data are
+meaningless — the point is exercising every dataset path.
+
+Synthetic data is kept strictly OUTSIDE the real dataset paths the configs
+ship with: run eval against it via the config-loader remap knob, e.g.
 
     python tools/make_synthetic_datasets.py [--size 256] [--n 2] [--force]
+    RS_OV_DATA_ROOT=$PWD/data_synth python eval_all.py --max-samples 2
+
+(--root changes the output root; --real-paths writes into the configs'
+actual paths, only if you really mean it.)
 """
 
 from __future__ import annotations
@@ -29,7 +36,16 @@ def main():
     ap.add_argument("--size", type=int, default=256, help="image H=W")
     ap.add_argument("--n", type=int, default=2, help="images per dataset")
     ap.add_argument("--force", action="store_true", help="overwrite existing")
+    ap.add_argument("--root", default=os.path.join(REPO, "data_synth"),
+                    help="root dir to mirror dataset layouts under")
+    ap.add_argument("--real-paths", action="store_true",
+                    help="write into the configs' real data paths (NOT "
+                         "recommended: mixes synthetic files into real "
+                         "dataset dirs)")
     args = ap.parse_args()
+
+    if not args.real_paths:
+        os.environ["RS_OV_DATA_ROOT"] = args.root
 
     from PIL import Image
 
