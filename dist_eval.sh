@@ -22,4 +22,10 @@ status=0
 for pid in "${pids[@]}"; do
   wait "$pid" || status=1
 done
+
+# fold the per-rank [4, C] confusion states into the single dataset-level
+# result (the reference's mmengine distributed metric collection role)
+if [ "$status" -eq 0 ]; then
+  python eval.py --merge "$WORK_DIR" || status=1
+fi
 exit $status

@@ -31,11 +31,23 @@ def parse_args():
                         help="SimFeatUp checkpoint path")
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--shard", default="0/1", help="rank/world for dataset sharding")
+    parser.add_argument("--merge", default=None, metavar="DIST_DIR",
+                        help="merge per-rank metric states under DIST_DIR "
+                             "(rank*/metric_state.npz) into one dataset-level "
+                             "result and exit")
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.merge:
+        from rs_ov.evalsuite.runner import merge_eval_results
+
+        results = merge_eval_results(args.merge)
+        print(json.dumps({k: results[k] for k in
+                          ("aAcc", "mIoU", "mAcc", "num_images", "num_shards")},
+                         indent=2))
+        return
     save_seg_dir = args.save_seg_dir or os.environ.get("SAVE_SEG_DIR")
     save_heatmap_dir = args.save_heatmap_dir or os.environ.get("SAVE_HEATMAP_DIR")
     rank, world = (int(x) for x in args.shard.split("/"))

@@ -23,7 +23,8 @@ from rs_ov.evalsuite.config import load_config
 from rs_ov.evalsuite.metrics import IoUMetric
 from rs_ov.pipeline.segmentor import SegmentorEx
 
-__all__ = ["build_segmentor_from_config", "run_eval", "append_experiment_result"]
+__all__ = ["build_segmentor_from_config", "run_eval", "append_experiment_result",
+           "merge_eval_results"]
 
 _MODEL_KEY_DROP = ("type", "device")
 
@@ -124,6 +125,16 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
 
     os.makedirs(work_dir, exist_ok=True)
     tag = os.path.splitext(os.path.basename(config_path))[0]
+    # every shard persists its [4, C] confusion state so a merge step
+    # (eval.py --merge / merge_eval_results) can recover the single
+    # dataset-level result — the role mmengine's distributed metric
+    # collection played behind the reference's dist_test.sh:11-22
+    np.savez(os.path.join(work_dir, "metric_state.npz"),
+             state=metric.state, num_images=n, pixels=pixels,
+             elapsed_sec=elapsed, ignore_index=meta.ignore_index,
+             class_names=np.asarray(meta.classes), tag=tag,
+             model=np.asarray([segmentor.clip_type, segmentor.vit_type,
+                               segmentor.model_type]))
     if shard[0] == 0:
         append_experiment_result(
             os.path.join(work_dir, "results.csv"),
@@ -137,6 +148,69 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
         # per-class IoU/Acc table (the mmseg eval-log equivalent)
         with open(os.path.join(work_dir, f"{tag}_per_class.json"), "w") as f:
             json.dump(results.get("per_class", {}), f, indent=2)
+    return results
+
+
+def merge_eval_results(dist_dir: str, verbose: bool = True) -> dict:
+    """Fold per-rank metric states into the single dataset-level result.
+
+    Reads every ``<dist_dir>/rank*/metric_state.npz`` written by sharded
+    ``run_eval`` invocations (dist_eval.sh), sums the [4, C] confusion
+    states via :meth:`IoUMetric.merge`, and writes the merged
+    results.txt/results.csv/per-class table into ``dist_dir`` itself —
+    the dataset-level mIoU the reference's dist_test.sh + mmengine
+    pipeline produced (reference dist_test.sh:11-22).
+    """
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(dist_dir, "rank*", "metric_state.npz")))
+    if not paths:
+        # also accept a flat list of work dirs (e.g. manual shard runs)
+        paths = sorted(glob.glob(os.path.join(dist_dir, "*", "metric_state.npz")))
+    if not paths:
+        raise FileNotFoundError(
+            f"no rank*/metric_state.npz under {dist_dir} — run sharded eval "
+            "(dist_eval.sh / eval.py --shard R/W) into per-rank work dirs first")
+
+    first = np.load(paths[0], allow_pickle=False)
+    class_names = tuple(str(c) for c in first["class_names"])
+    metric = IoUMetric(num_classes=first["state"].shape[1],
+                       ignore_index=int(first["ignore_index"]),
+                       class_names=class_names)
+    n_images = 0
+    pixels = 0.0
+    elapsed = 0.0
+    for p in paths:
+        z = np.load(p, allow_pickle=False)
+        metric.merge(z["state"])
+        n_images += int(z["num_images"])
+        pixels += float(z["pixels"])
+        # ranks run concurrently: dataset wall time is the slowest rank
+        elapsed = max(elapsed, float(z["elapsed_sec"]))
+
+    results = metric.compute()
+    results["num_images"] = n_images
+    results["num_shards"] = len(paths)
+    results["elapsed_sec"] = elapsed
+    results["tiles512_per_sec"] = (pixels / (512.0 * 512.0)) / elapsed if elapsed else 0.0
+
+    tag = str(first["tag"])
+    clip_t, vit_t, model_t = (str(x) for x in first["model"])
+    append_experiment_result(
+        os.path.join(dist_dir, "results.csv"),
+        [[clip_t, vit_t, model_t, tag,
+          f"{results['aAcc']:.2f}", f"{results['mIoU']:.2f}",
+          f"{results['mAcc']:.2f}"]])
+    with open(os.path.join(dist_dir, "results.txt"), "a") as f:
+        f.write(f"{tag} (merged {len(paths)} shards): " + json.dumps(
+            {k: results[k] for k in ("aAcc", "mIoU", "mAcc",
+                                     "num_images", "tiles512_per_sec")}) + "\n")
+    with open(os.path.join(dist_dir, f"{tag}_per_class.json"), "w") as f:
+        json.dump(results.get("per_class", {}), f, indent=2)
+    if verbose:
+        print(f"[merge] {len(paths)} shards, {n_images} images -> "
+              f"mIoU {results['mIoU']:.2f} aAcc {results['aAcc']:.2f} "
+              f"mAcc {results['mAcc']:.2f}")
     return results
 
 

@@ -101,6 +101,29 @@ test_dataloader = dict(
     return str(cfg)
 
 
+def test_sharded_eval_merge_equals_single(tiny_cfg_file, tmp_path):
+    """WORKERS=2 sharded eval + merge == single-process eval (the
+    dist_eval.sh contract: per-rank metric_state.npz -> one dataset mIoU)."""
+    from rs_ov.evalsuite.runner import (build_segmentor_from_config,
+                                        merge_eval_results, run_eval)
+
+    cfg = load_config(tiny_cfg_file)
+    seg = build_segmentor_from_config(
+        cfg, {"clip_config": TINY, "param_dtype": jnp.float32})
+    single = run_eval(tiny_cfg_file, work_dir=str(tmp_path / "single"),
+                      segmentor=seg, verbose=False)
+    for r in range(2):
+        run_eval(tiny_cfg_file, work_dir=str(tmp_path / "dist" / f"rank{r}"),
+                 shard=(r, 2), segmentor=seg, verbose=False)
+    merged = merge_eval_results(str(tmp_path / "dist"), verbose=False)
+    assert merged["num_shards"] == 2
+    assert merged["num_images"] == single["num_images"] == 3
+    for k in ("aAcc", "mIoU", "mAcc"):
+        assert abs(merged[k] - single[k]) < 1e-9, (k, merged[k], single[k])
+    assert os.path.exists(tmp_path / "dist" / "results.csv")
+    assert os.path.exists(tmp_path / "dist" / "results.txt")
+
+
 def test_run_eval_synthetic(tiny_cfg_file, tmp_path):
     """Full eval loop on synthetic data with a tiny random model."""
     from rs_ov.evalsuite.runner import run_eval
