@@ -14,8 +14,21 @@ from rs_ov.factory import (  # noqa: F401
     get_tokenizer,
     image_transform,
 )
-from rs_ov.pretrained import get_pretrained_url, list_pretrained  # noqa: F401
+from rs_ov.core.config import get_model_config, list_models  # noqa: F401
+from rs_ov.pretrained import (  # noqa: F401
+    get_pretrained_cfg,
+    get_pretrained_url,
+    is_pretrained_cfg,
+    list_pretrained,
+    list_pretrained_models_by_tag,
+    list_pretrained_tags_by_model,
+)
 from rs_ov.text import tokenizer  # noqa: F401
+from rs_ov.text.zero_shot_metadata import (  # noqa: F401
+    IMAGENET_CLASSNAMES,
+    OPENAI_IMAGENET_TEMPLATES,
+    SIMPLE_IMAGENET_TEMPLATES,
+)
 from rs_ov.text.tokenizer import SimpleTokenizer, tokenize  # noqa: F401
 
 OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)

@@ -50,7 +50,7 @@ def _ln(width: int, dtype) -> dict:
     return {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)}
 
 
-def _block(key, width: int, mlp_ratio: float, dtype) -> dict:
+def _block(key, width: int, mlp_ratio: float, dtype, ls_init_value=None) -> dict:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     mlp_width = int(width * mlp_ratio)
     attn_std = width ** -0.5
@@ -71,6 +71,10 @@ def _block(key, width: int, mlp_ratio: float, dtype) -> dict:
             "c_proj_w": (jax.random.normal(k4, (width, mlp_width)) * proj_std).astype(dtype),
             "c_proj_b": jnp.zeros((width,), dtype),
         },
+        **({} if ls_init_value is None else {
+            "ls_1": jnp.full((width,), ls_init_value, dtype),
+            "ls_2": jnp.full((width,), ls_init_value, dtype),
+        }),
     }
 
 
@@ -85,7 +89,8 @@ def init_vision_params(key, cfg: VisionConfig, dtype=jnp.float32) -> dict:
         "positional_embedding": (jax.random.normal(keys[2], (gh * gw + 1, cfg.width))
                                  * scale).astype(dtype),
         "ln_pre": _ln(cfg.width, dtype),
-        "blocks": [_block(keys[4 + i], cfg.width, cfg.mlp_ratio, dtype)
+        "blocks": [_block(keys[4 + i], cfg.width, cfg.mlp_ratio, dtype,
+                          ls_init_value=getattr(cfg, "ls_init_value", None))
                    for i in range(cfg.layers)],
         "ln_post": _ln(cfg.width, dtype),
         "proj": (jax.random.normal(keys[3], (cfg.width, cfg.output_dim)) * scale).astype(dtype),
@@ -104,6 +109,8 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.float32) -> dict:
         "ln_final": _ln(cfg.width, dtype),
         "text_projection": (jax.random.normal(keys[2], (cfg.width, cfg.output_dim))
                             * cfg.width ** -0.5).astype(dtype),
+        **({"text_projection_b": jnp.zeros((cfg.output_dim,), dtype)}
+           if getattr(cfg, "proj_bias", False) else {}),
     }
 
 

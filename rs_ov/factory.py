@@ -110,14 +110,15 @@ class CoCaModel:
 
 def _create_coca(model_name: str, pretrained, dtype, seed: int):
     from rs_ov.core.checkpoint import coca_params_from_state_dict
-    from rs_ov.nn.coca import coca_base_config, init_coca_params
+    from rs_ov.core.config import get_coca_config
+    from rs_ov.nn.coca import init_coca_params
 
-    cfg = coca_base_config()
-    if "L-14" in model_name:
-        cfg = dataclasses.replace(
-            cfg, vision=dataclasses.replace(cfg.vision, patch_size=14,
-                                            width=1024, layers=24),
-            embed_dim=768)
+    cfg = get_coca_config(model_name)
+    if cfg.text.hf_model_name:
+        raise NotImplementedError(
+            f"{model_name} uses an HF text tower ({cfg.text.hf_model_name}; "
+            "reference hf_model.py) — out of the TPU-native scope. Use "
+            "coca_ViT-B-32 / coca_ViT-L-14 / coca_base.")
     if pretrained and os.path.exists(pretrained):
         sd = load_torch_state_dict(pretrained)
         params = cast_floating(coca_params_from_state_dict(sd), dtype)
@@ -160,6 +161,14 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
             f"({model_name}, {pretrained}) from {url or 'its distributor'} and "
             f"pass the local path as `pretrained`.")
     cfg = get_model_config(model_name)
+    if cfg.vision.timm_model_name:
+        raise NotImplementedError(
+            f"{model_name} specifies a timm vision tower "
+            f"({cfg.vision.timm_model_name}; reference timm_model.py:1-161) — "
+            "registered for name parity, but native construction is out of "
+            "the TPU-native scope. SigLIP-family checkpoints load via the "
+            "big_vision .npz path (core/checkpoint.py); timm-exported plain-"
+            "ViT state dicts load via `pretrained=<path>`.")
     if force_quick_gelu and not cfg.quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
     params = init_clip_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
@@ -203,5 +212,31 @@ def create_model_and_transforms(model_name: str, pretrained: Optional[str] = Non
 
 
 def get_tokenizer(model_name: str = "", context_length: int | None = None,
-                  **_ignored) -> SimpleTokenizer:
-    return SimpleTokenizer(context_length=context_length or 77)
+                  local_tokenizer_path: str | None = None, **_ignored):
+    """Tokenizer for a model name (reference factory.py:83-124): BPE
+    SimpleTokenizer unless the arch config names an HF/SigLIP tokenizer.
+
+    Hub tokenizers need a LOCAL asset in this zero-egress environment —
+    pass ``local_tokenizer_path`` (saved tokenizer dir / tokenizer.json /
+    sentencepiece .model); otherwise the HF name is tried as a local path
+    and a clear FileNotFoundError points at the canonical source.
+    """
+    cfg = None
+    if model_name:
+        try:
+            cfg = get_model_config(model_name)
+        except KeyError:
+            cfg = None
+    tcfg = getattr(cfg, "text", None)
+    hf_name = getattr(tcfg, "hf_tokenizer_name", None)
+    if hf_name:
+        from rs_ov.text.hf_tokenizers import HFTokenizer, SigLipTokenizer
+
+        ctx = context_length or tcfg.context_length
+        path = local_tokenizer_path or hf_name
+        if tcfg.tokenizer_clean == "canonicalize":  # SigLIP family
+            return SigLipTokenizer(path, context_length=ctx)
+        return HFTokenizer(path, context_length=ctx,
+                           strip_sep_token=tcfg.strip_sep_token)
+    ctx = context_length or getattr(tcfg, "context_length", None) or 77
+    return SimpleTokenizer(context_length=ctx)

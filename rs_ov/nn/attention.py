@@ -76,6 +76,10 @@ def standard_attention(p: dict, x: jnp.ndarray, heads: int,
     if mask is not None:
         attn = attn + mask.astype(attn.dtype)
     attn = _softmax32(attn)
+    # operand dtype follows the params (the param_dtype precision knob):
+    # bf16 weights -> bf16 operands with fp32 accumulation; the fp32
+    # strict-parity mode keeps every operand fp32. A real-checkpoint
+    # bf16-vs-fp32 mIoU A/B is part of tools/parity_check.py's scope.
     out = _bmm(attn.astype(v.dtype), v).astype(x.dtype)
     out = _merge_heads(out)
     out = linear(out, p["out_proj_w"], p["out_proj_b"])

@@ -104,11 +104,19 @@ def interpolate_pos_embedding(pos_embed: jnp.ndarray, grid_hw: tuple[int, int]) 
 
 
 def _resblock(blk: dict, x: jnp.ndarray, heads: int, act, need_weights: bool = False):
-    """Standard residual attention block (reference transformer.py:234-254)."""
+    """Standard residual attention block (reference transformer.py:234-254).
+
+    Optional per-branch LayerScale gammas ('ls_1'/'ls_2', ViT-M-16-alt's
+    ls_init_value — reference transformer.py LayerScale) when present."""
     attn_out, weights = standard_attention(
         blk["attn"], layer_norm(x, blk["ln_1"]), heads, need_weights=need_weights)
+    if "ls_1" in blk:
+        attn_out = attn_out * blk["ls_1"].astype(attn_out.dtype)
     x = x + attn_out
-    x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"], act=act)
+    mlp_out = mlp(layer_norm(x, blk["ln_2"]), blk["mlp"], act=act)
+    if "ls_2" in blk:
+        mlp_out = mlp_out * blk["ls_2"].astype(mlp_out.dtype)
+    x = x + mlp_out
     return x, weights
 
 
@@ -136,7 +144,8 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
     if x.shape[1] != pos.shape[0]:
         pos = interpolate_pos_embedding(pos, (gh, gw))
     x = x + pos.astype(x.dtype)[None]
-    x = layer_norm(x, p["ln_pre"])
+    if not vcfg.no_ln_pre:  # CLIPA family drops the pre-LN
+        x = layer_norm(x, p["ln_pre"])
 
     blocks = p["blocks"]
     n_layers = len(blocks)
@@ -269,8 +278,16 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
     else:
         x = output
 
-    x = layer_norm(x, p["ln_post"])
-    pooled, tokens = x[:, 0], x[:, 1:]
+    def _pool(y):
+        return jnp.mean(y[:, 1:], axis=1) if vcfg.pool_type == "avg" else y[:, 0]
+
+    if vcfg.final_ln_after_pool:
+        # CLIPA: pool the raw stream, LN only the pooled vector
+        # (reference transformer.py applies ln_post after _global_pool there)
+        pooled, tokens = layer_norm(_pool(x), p["ln_post"]), x[:, 1:]
+    else:
+        x = layer_norm(x, p["ln_post"])
+        pooled, tokens = _pool(x), x[:, 1:]
     proj = p["proj"]
     pooled = jnp.einsum("bd,de->be", pooled.astype(jnp.float32),
                         proj.astype(jnp.float32),

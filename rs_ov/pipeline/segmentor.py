@@ -305,8 +305,16 @@ class SegmentorEx:
             ph, pw = tiles.shape[-2], tiles.shape[-1]
             nhwc_ok = (self._upsample_fn_nhwc is not None
                        and tokens.dtype == jnp.bfloat16
-                       and jax.default_backend() not in ("cpu",))
-            if nhwc_ok and self._upsample_classify_nhwc is not None:
+                       and jax.default_backend() not in ("cpu",)
+                       # kill-switch: RS_OV_JBU_FUSED=0 reverts the NHWC /
+                       # fused-classify routes to the split channel-first
+                       # kernels as well (docs/fused_epilogue.md)
+                       and os.environ.get("RS_OV_JBU_FUSED", "1") != "0")
+            if (nhwc_ok and self._upsample_classify_nhwc is not None
+                    # the fused classifier holds Q on the lane axis
+                    # (kernels/jbu_epilogue.py asserts q <= 128); larger
+                    # vocabularies fall through to the unfused nhwc path
+                    and self.query_features.shape[0] <= 128):
                 # fully-fused tail: the last JBU stage's kernel also runs
                 # the final-fixup conv, L2 norm and cosine classifier and
                 # emits [T, H, W, Q] logits — the [T, HW, C] upsampled
@@ -598,7 +606,13 @@ class SegmentorEx:
         (the reference also normalises on device: its mmengine
         SegDataPreProcessor, reference segmentor.py:64-67), so the host
         uploads a quarter of the bytes of the fp32 CHW contract — measured
-        ~15 ms/image faster through the tunnelled chip's upload path."""
+        ~15 ms/image faster through the tunnelled chip's upload path.
+
+        Shape-bucketing note: bucket padding here pads the *uint8* image
+        with 0, which normalises to -mean/std, while :meth:`predict` pads
+        the normalised image with 0.0 (= the dataset mean). Padded rows are
+        cropped before stitching either way, so only tiles straddling the
+        pad edge can differ marginally between the raw and non-raw routes."""
         inputs = np.asarray(inputs)
         results = []
         for i in range(inputs.shape[0]):
@@ -623,7 +637,7 @@ class SegmentorEx:
 
     def predict(self, inputs, data_samples=None):
         """inputs: [B, 3, H, W] preprocessed (mean/std-normalised RGB) —
-        numpy, or a device array from :meth:`upload` (no host round-trip).
+        numpy, or an already-uploaded jax device array (no host round-trip).
 
         Returns a list of dicts: {'seg_logits': [C, oh, ow], 'pred_sem_seg':
         [1, oh, ow]} per image (the mmengine PixelData contract, flattened).

@@ -57,6 +57,8 @@ def text_forward(p: dict, text_ids: jnp.ndarray, cfg: TextConfig,
     out = jnp.einsum("bd,de->be", pooled.astype(jnp.float32),
                      p["text_projection"].astype(jnp.float32),
                      preferred_element_type=jnp.float32).astype(x.dtype)
+    if "text_projection_b" in p:  # SigLIP-family proj_bias
+        out = out + p["text_projection_b"].astype(out.dtype)
     if normalize:
         out32 = out.astype(jnp.float32)
         out = (out32 / jnp.maximum(jnp.linalg.norm(out32, axis=-1, keepdims=True), 1e-12)
