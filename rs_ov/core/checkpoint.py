@@ -28,6 +28,8 @@ __all__ = [
     "jbu_params_from_state_dict",
     "infer_clip_config_from_state_dict",
     "vision_params_from_big_vision_npz",
+    "vision_params_from_timm_state_dict",
+    "detect_timm_vision_prefix",
 ]
 
 
@@ -167,11 +169,134 @@ def text_params_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "",
     }
 
 
-def clip_params_from_state_dict(sd: Mapping[str, np.ndarray], dtype=jnp.float32) -> dict:
+# ---------------------------------------------------------------------------
+# timm-flavoured ViT state dicts (capability subset of the reference's
+# timm_model.py adapter: RemoteCLIP/GeoRSCLIP-adjacent exports where the
+# underlying arch is a plain ViT but the names are timm's)
+# ---------------------------------------------------------------------------
+
+_TIMM_VISION_PREFIXES = ("", "visual.", "visual.trunk.", "module.visual.trunk.",
+                         "image_encoder.", "vision_model.")
+
+
+def detect_timm_vision_prefix(sd: Mapping[str, np.ndarray]) -> str | None:
+    """Prefix under which timm ViT names live, or None if not timm-named."""
+    for p in _TIMM_VISION_PREFIXES:
+        if f"{p}patch_embed.proj.weight" in sd:
+            return p
+    return None
+
+
+def _timm_block(sd, prefix, dtype):
+    d = sd[f"{prefix}.attn.qkv.weight"].shape[1]
+    if f"{prefix}.attn.qkv.bias" in sd:
+        qkv_b = sd[f"{prefix}.attn.qkv.bias"]
+    elif f"{prefix}.attn.q_bias" in sd:
+        # EVA/BLIP-style: separate q/v bias, no k bias
+        qkv_b = np.concatenate([sd[f"{prefix}.attn.q_bias"],
+                                np.zeros((d,), np.float32),
+                                sd[f"{prefix}.attn.v_bias"]])
+    else:
+        qkv_b = np.zeros((3 * d,), np.float32)
     return {
-        "visual": vision_params_from_state_dict(sd, "visual.", dtype),
+        "ln_1": _ln(sd, f"{prefix}.norm1", dtype),
+        "attn": {
+            "in_proj_w": jnp.asarray(sd[f"{prefix}.attn.qkv.weight"], dtype),
+            "in_proj_b": jnp.asarray(qkv_b, dtype),
+            "out_proj_w": jnp.asarray(sd[f"{prefix}.attn.proj.weight"], dtype),
+            "out_proj_b": jnp.asarray(sd[f"{prefix}.attn.proj.bias"], dtype),
+        },
+        "ln_2": _ln(sd, f"{prefix}.norm2", dtype),
+        "mlp": {
+            "c_fc_w": jnp.asarray(sd[f"{prefix}.mlp.fc1.weight"], dtype),
+            "c_fc_b": jnp.asarray(sd[f"{prefix}.mlp.fc1.bias"], dtype),
+            "c_proj_w": jnp.asarray(sd[f"{prefix}.mlp.fc2.weight"], dtype),
+            "c_proj_b": jnp.asarray(sd[f"{prefix}.mlp.fc2.bias"], dtype),
+        },
+    }
+
+
+def vision_params_from_timm_state_dict(sd: Mapping[str, np.ndarray],
+                                       prefix: str | None = None,
+                                       dtype=jnp.float32) -> dict:
+    """Map a timm-named plain-ViT state dict onto the nn/vit.py pytree.
+
+    Name translation (timm -> rs_ov): patch_embed.proj -> conv1_w,
+    cls_token -> class_embedding, pos_embed -> positional_embedding
+    (zero CLS row prepended when the export has none), norm_pre -> ln_pre
+    (identity when absent), blocks.N.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2} -> block fields, norm/fc_norm -> ln_post,
+    head.proj -> proj (identity when the export carries no CLIP head).
+    """
+    p = detect_timm_vision_prefix(sd) if prefix is None else prefix
+    if p is None:
+        raise KeyError("not a timm-named ViT state dict "
+                       "(no patch_embed.proj.weight under known prefixes)")
+    conv1 = sd[f"{p}patch_embed.proj.weight"]
+    width = conv1.shape[0]
+    n = 0
+    while f"{p}blocks.{n}.norm1.weight" in sd:
+        n += 1
+
+    pos = np.asarray(sd[f"{p}pos_embed"])
+    if pos.ndim == 3:
+        pos = pos[0]
+    if f"{p}cls_token" in sd:
+        cls = np.asarray(sd[f"{p}cls_token"]).reshape(width)
+    else:
+        cls = np.zeros((width,), np.float32)
+    grid = int(round(pos.shape[0] ** 0.5))
+    if grid * grid == pos.shape[0]:  # CLS-less pos table: give CLS a zero row
+        pos = np.concatenate([np.zeros((1, width), pos.dtype), pos], 0)
+
+    if f"{p}norm_pre.weight" in sd:
+        ln_pre = _ln(sd, f"{p}norm_pre", dtype)
+    else:
+        ln_pre = {"scale": jnp.ones((width,), dtype),
+                  "bias": jnp.zeros((width,), dtype)}
+    post_name = "norm" if f"{p}norm.weight" in sd else "fc_norm"
+    if f"{p}{post_name}.weight" in sd:
+        ln_post = _ln(sd, f"{p}{post_name}", dtype)
+    else:
+        ln_post = {"scale": jnp.ones((width,), dtype),
+                   "bias": jnp.zeros((width,), dtype)}
+
+    for head in (f"{p}head.proj.weight", "visual.head.proj.weight"):
+        if head in sd:  # open_clip timm wrapper linear proj [E, D]
+            proj = jnp.asarray(np.asarray(sd[head]).T, dtype)
+            break
+    else:
+        proj = jnp.eye(width, dtype=dtype)
+
+    params = {
+        "conv1_w": jnp.asarray(conv1, dtype),
+        "class_embedding": jnp.asarray(cls, dtype),
+        "positional_embedding": jnp.asarray(pos, dtype),
+        "ln_pre": ln_pre,
+        "blocks": [_timm_block(sd, f"{p}blocks.{i}", dtype) for i in range(n)],
+        "ln_post": ln_post,
+        "proj": proj,
+    }
+    for i in range(n):  # timm LayerScale (gamma_1/gamma_2 or ls1/ls2)
+        for ours, theirs in (("ls_1", ("gamma_1", "ls1.gamma")),
+                             ("ls_2", ("gamma_2", "ls2.gamma"))):
+            for t in theirs:
+                if f"{p}blocks.{i}.{t}" in sd:
+                    params["blocks"][i][ours] = jnp.asarray(
+                        sd[f"{p}blocks.{i}.{t}"], dtype)
+    return params
+
+
+def clip_params_from_state_dict(sd: Mapping[str, np.ndarray], dtype=jnp.float32) -> dict:
+    if "visual.conv1.weight" in sd:
+        visual = vision_params_from_state_dict(sd, "visual.", dtype)
+    else:  # timm-flavoured vision tower export
+        visual = vision_params_from_timm_state_dict(sd, dtype=dtype)
+    return {
+        "visual": visual,
         "text": text_params_from_state_dict(sd, "", dtype),
-        "logit_scale": jnp.asarray(sd["logit_scale"], dtype),
+        "logit_scale": jnp.asarray(sd.get("logit_scale", np.log(1 / 0.07)),
+                                   dtype),
     }
 
 
@@ -181,12 +306,39 @@ def infer_clip_config_from_state_dict(sd: Mapping[str, np.ndarray],
     ``build_model_from_openai_state_dict`` (reference model.py:470-526)."""
     from rs_ov.core.config import TextConfig, VisionConfig
 
-    v_width = sd["visual.conv1.weight"].shape[0]
-    patch = sd["visual.conv1.weight"].shape[-1]
-    v_layers = _count_blocks(sd, "visual.transformer.resblocks")
-    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    if "visual.conv1.weight" in sd:
+        v_width = sd["visual.conv1.weight"].shape[0]
+        patch = sd["visual.conv1.weight"].shape[-1]
+        v_layers = _count_blocks(sd, "visual.transformer.resblocks")
+        grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+        embed_dim = sd["visual.proj"].shape[1]
+    else:  # timm-flavoured export
+        p = detect_timm_vision_prefix(sd)
+        if p is None:
+            raise KeyError("state dict has neither open_clip nor timm "
+                           "vision-tower names")
+        conv1 = sd[f"{p}patch_embed.proj.weight"]
+        v_width, patch = conv1.shape[0], conv1.shape[-1]
+        v_layers = 0
+        while f"{p}blocks.{v_layers}.norm1.weight" in sd:
+            v_layers += 1
+        pos = np.asarray(sd[f"{p}pos_embed"])
+        npos = pos.shape[-2]
+        grid = int(round(npos ** 0.5))
+        if grid * grid != npos:
+            grid = int(round((npos - 1) ** 0.5))
+        embed_dim = (sd[f"{p}head.proj.weight"].shape[0]
+                     if f"{p}head.proj.weight" in sd else v_width)
     image_size = grid * patch
-    embed_dim = sd["visual.proj"].shape[1]
+    if "ln_final.weight" not in sd:  # vision-only export
+        return CLIPConfig(
+            embed_dim=embed_dim,
+            vision=VisionConfig(image_size=image_size, patch_size=patch,
+                                width=v_width, layers=v_layers,
+                                output_dim=embed_dim),
+            text=TextConfig(output_dim=embed_dim),
+            quick_gelu=quick_gelu,
+        )
     t_width = sd["ln_final.weight"].shape[0]
     t_layers = _count_blocks(sd, "transformer.resblocks")
     ctx = sd["positional_embedding"].shape[0]
