@@ -60,10 +60,28 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
+def _fill_x(x_ref, inpa_ref, inpb_ref, *, ht: int, wt: int, slab: bool):
+    """Stage the 2*ht-row input slab for the banded matmuls.
+
+    slab=False: inpa/inpb are pre-stacked 128-wide windows ([1, ht, 1, 128, cp]).
+    slab=True: inpa/inpb are full-width row slabs ([1, ht, Wcols, cp]) and the
+    128-wide window at column wi*wt is sliced here in VMEM — the XLA
+    window-stack pass (and its 128/wt duplicated HBM traffic) disappears."""
+    if slab:
+        off = pl.program_id(2) * wt
+        x_ref[:ht * 128] = inpa_ref[0, :, pl.ds(off, 128), :].reshape(
+            ht * 128, -1).astype(jnp.bfloat16)
+        x_ref[ht * 128:] = inpb_ref[0, :, pl.ds(off, 128), :].reshape(
+            ht * 128, -1).astype(jnp.bfloat16)
+    else:
+        x_ref[:ht * 128] = inpa_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
+        x_ref[ht * 128:] = inpb_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
+
+
 def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
             w1_ref, b1_ref, inpa_ref, inpb_ref, out_ref,
             comb_ref, x_ref, band_ref, *, diameter: int, ht: int, wt: int,
-            dd: int, g: int):
+            dd: int, g: int, slab: bool = False):
     d = diameter
     p = ht * wt
 
@@ -88,8 +106,7 @@ def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
     comb_ref[:] = (comb + 0.1 * fix[:, :dd]).astype(jnp.bfloat16)
 
     # ---- adaptive conv (v5 concat-K banded matmuls) -------------------
-    x_ref[:ht * 128] = inpa_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
-    x_ref[ht * 128:] = inpb_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
+    _fill_x(x_ref, inpa_ref, inpb_ref, ht=ht, wt=wt, slab=slab)
     for i in range(ht):
         for u in range(d):
             slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
@@ -105,7 +122,7 @@ def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
 def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
                 w1_ref, b1_ref, inpa_ref, inpb_ref, fw_ref, fb_ref, qf_ref,
                 out_ref, comb_ref, x_ref, band_ref, *, diameter: int, ht: int,
-                wt: int, dd: int, g: int):
+                wt: int, dd: int, g: int, slab: bool = False):
     """_kernel + the pipeline tail fused per output row: final-fixup conv
     (residual 1x1 over C), L2 normalisation, and the cosine classifier —
     the [P, C] stage-4 features never leave VMEM and the kernel writes
@@ -128,8 +145,7 @@ def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
                               preferred_element_type=jnp.float32) + b1_ref[0]
     comb_ref[:] = (comb + 0.1 * fix[:, :dd]).astype(jnp.bfloat16)
 
-    x_ref[:ht * 128] = inpa_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
-    x_ref[ht * 128:] = inpb_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
+    _fill_x(x_ref, inpa_ref, inpb_ref, ht=ht, wt=wt, slab=slab)
     for i in range(ht):
         for u in range(d):
             slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
@@ -156,13 +172,14 @@ def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
             preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("diameter", "interpret", "nhwc"))
+@functools.partial(jax.jit,
+                   static_argnames=("diameter", "interpret", "nhwc", "slab"))
 def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                         guid_t: jnp.ndarray, spatial: jnp.ndarray,
                         pos_temp: jnp.ndarray, w0: jnp.ndarray,
                         b0: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                         diameter: int, interpret: bool = False,
-                        nhwc: bool = False) -> jnp.ndarray:
+                        nhwc: bool = False, slab: bool = True) -> jnp.ndarray:
     """inp: [B, C, H+d-1, W+d-1] (bicubic-upsampled reflect-padded source) —
     or [B, H+d-1, W+d-1, C] with nhwc=True, which also returns [B, H, W, C]
     and skips both boundary transposes (the layout the kernel uses anyway);
@@ -192,8 +209,26 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     inp_t = jnp.pad(inp if nhwc else inp.transpose(0, 2, 3, 1),
                     ((0, 0), (0, (n_hb + 1) * ht - hp),
                      (0, (n_wb - 1) * wt + 128 - wp), (0, cp - c)))
-    inp_win = jnp.stack([inp_t[:, :, i * wt:i * wt + 128] for i in range(n_wb)],
-                        axis=2)
+    wcols = (n_wb - 1) * wt + 128
+    if slab:
+        # full-width row slabs; the kernel slices its 128-wide column window
+        # in VMEM (no stack pass, no 128/wt-duplicated HBM reads)
+        inp_win = inp_t
+        inp_spec_a = pl.BlockSpec((1, ht, wcols, cp),
+                                  lambda bi, hi, wi: (bi, hi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        inp_spec_b = pl.BlockSpec((1, ht, wcols, cp),
+                                  lambda bi, hi, wi: (bi, hi + 1, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        inp_win = jnp.stack(
+            [inp_t[:, :, i * wt:i * wt + 128] for i in range(n_wb)], axis=2)
+        inp_spec_a = pl.BlockSpec((1, ht, 1, 128, cp),
+                                  lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        inp_spec_b = pl.BlockSpec((1, ht, 1, 128, cp),
+                                  lambda bi, hi, wi: (bi, hi + 1, wi, 0, 0),
+                                  memory_space=pltpu.VMEM)
 
     logits_p = jnp.pad(logits_t, ((0, 0), (0, hpad - h), (0, wpad - w), (0, 0)))
     guid_p = jnp.pad(guid_t, ((0, 0), (0, hpad - h), (0, wpad - w), (0, 0)))
@@ -213,7 +248,8 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     spatial_p = jnp.pad(spatial.astype(jnp.float32).reshape(1, dd),
                         ((0, 0), (0, 128 - dd)))
 
-    kernel = functools.partial(_kernel, diameter=d, ht=ht, wt=wt, dd=dd, g=g)
+    kernel = functools.partial(_kernel, diameter=d, ht=ht, wt=wt, dd=dd, g=g,
+                               slab=slab)
     out_t = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hpad, n_wb, wt, cp), inp.dtype),
@@ -236,12 +272,8 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda bi, hi, wi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, 1, 128, cp),
-                         lambda bi, hi, wi: (bi, hi, wi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, 1, 128, cp),
-                         lambda bi, hi, wi: (bi, hi + 1, wi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            inp_spec_a,
+            inp_spec_b,
         ],
         out_specs=pl.BlockSpec((1, ht, 1, wt, cp),
                                lambda bi, hi, wi: (bi, hi, wi, 0, 0),
@@ -258,7 +290,7 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     return out if nhwc else out.transpose(0, 3, 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret", "slab"))
 def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                                  guid_t: jnp.ndarray, spatial: jnp.ndarray,
                                  pos_temp: jnp.ndarray, w0: jnp.ndarray,
@@ -266,7 +298,8 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                                  b1: jnp.ndarray, fixup_w: jnp.ndarray,
                                  fixup_b: jnp.ndarray, query_features: jnp.ndarray,
                                  diameter: int,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: bool = False,
+                                 slab: bool = True) -> jnp.ndarray:
     """jbu_epilogue_pallas(nhwc=True) with the pipeline tail fused: the
     final-fixup residual conv, the L2 normalisation and the cosine
     classifier run per output row in VMEM, and the kernel emits
@@ -293,8 +326,24 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
 
     inp_t = jnp.pad(inp, ((0, 0), (0, (n_hb + 1) * ht - hp),
                           (0, (n_wb - 1) * wt + 128 - wp), (0, cp - c)))
-    inp_win = jnp.stack([inp_t[:, :, i * wt:i * wt + 128] for i in range(n_wb)],
-                        axis=2)
+    wcols = (n_wb - 1) * wt + 128
+    if slab:
+        inp_win = inp_t
+        inp_spec_a = pl.BlockSpec((1, ht, wcols, cp),
+                                  lambda bi, hi, wi: (bi, hi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        inp_spec_b = pl.BlockSpec((1, ht, wcols, cp),
+                                  lambda bi, hi, wi: (bi, hi + 1, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        inp_win = jnp.stack(
+            [inp_t[:, :, i * wt:i * wt + 128] for i in range(n_wb)], axis=2)
+        inp_spec_a = pl.BlockSpec((1, ht, 1, 128, cp),
+                                  lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        inp_spec_b = pl.BlockSpec((1, ht, 1, 128, cp),
+                                  lambda bi, hi, wi: (bi, hi + 1, wi, 0, 0),
+                                  memory_space=pltpu.VMEM)
     logits_p = jnp.pad(logits_t, ((0, 0), (0, hpad - h), (0, wpad - w), (0, 0)))
     guid_p = jnp.pad(guid_t, ((0, 0), (0, hpad - h), (0, wpad - w), (0, 0)))
 
@@ -320,7 +369,8 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     qft = jnp.zeros((cp, 128), jnp.bfloat16).at[:c, :q].set(
         query_features.T.astype(jnp.bfloat16))
 
-    kernel = functools.partial(_kernel_cls, diameter=d, ht=ht, wt=wt, dd=dd, g=g)
+    kernel = functools.partial(_kernel_cls, diameter=d, ht=ht, wt=wt, dd=dd,
+                               g=g, slab=slab)
     const = lambda bi, hi, wi: (0, 0)  # noqa: E731
     out_t = pl.pallas_call(
         kernel,
@@ -339,12 +389,8 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
             pl.BlockSpec((1, 128), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, 1, 128, cp),
-                         lambda bi, hi, wi: (bi, hi, wi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, 1, 128, cp),
-                         lambda bi, hi, wi: (bi, hi + 1, wi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            inp_spec_a,
+            inp_spec_b,
             pl.BlockSpec((cp, cp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((cp, 128), const, memory_space=pltpu.VMEM),

@@ -13,8 +13,16 @@
     the SOURCE grid. Implemented to the mmcv spec in pure XLA (the
     reassembly reuses the adaptive-conv shift-accumulate pattern).
 
-sapa wraps an external CUDA package with its own trained weights and is
-intentionally not ported (registry raises with that rationale).
+  * SAPA (reference upsamplers.py:85-156 wraps the external `sapa` CUDA
+    package's `sim`/`atn` ops): similarity-aware point affiliation — per
+    upsampled pixel, attention logits are dot products between a query
+    projected from the (pooled) guidance and key projections of the K x K
+    low-res neighbourhood around its source cell; the softmaxed kernel
+    reassembles the raw source values. Implemented in pure XLA with the
+    same shift-accumulate pattern as CARAFE (out-of-bounds neighbours
+    contribute zero logits / zero values — F.unfold zero-pad semantics).
+    No public SAPA checkpoint ships with the reference, so this path is
+    random-init/training only, like the reference's.
 """
 
 from __future__ import annotations
@@ -23,11 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rs_ov.utils.resize import resize_bilinear
+from rs_ov.utils.resize import adaptive_avg_pool2d, resize_bilinear
 
 __all__ = ["resize_conv_forward", "init_resize_conv_params",
            "ifa_forward", "init_ifa_params",
-           "carafe_forward", "init_carafe_params"]
+           "carafe_forward", "init_carafe_params",
+           "sapa_forward", "init_sapa_params"]
 
 
 def _conv2d_same(x, w, b):
@@ -129,6 +138,105 @@ def init_carafe_params(key, dim: int, compressed: int = 64, up_kernel: int = 3,
                 ke, (k2s2, compressed, encoder_kernel, encoder_kernel))
                 * (compressed * encoder_kernel ** 2) ** -0.5).astype(dtype),
             "enc_b": jnp.zeros((k2s2,), dtype),
+        })
+    return {"stages": stages}
+
+
+# ---------------------------------------------------------------------------
+# SAPA (similarity-aware point affiliation)
+# ---------------------------------------------------------------------------
+
+def _sapa_window_apply(hr_weights, lr_values, up_kernel: int, scale: int):
+    """out[b,i,j,:] = sum_t hr_weights[b,i,j,t] * lr_values[b, i//s+u-r,
+    j//s+v-r, :] for t=(u,v); out-of-bounds lr neighbours are zero."""
+    b, hl, wl, c = lr_values.shape
+    r = up_kernel // 2
+    vp = jnp.pad(lr_values, ((0, 0), (r, r), (r, r), (0, 0)))
+    out = jnp.zeros(hr_weights.shape[:3] + (c,), jnp.float32)
+    for u in range(up_kernel):
+        for v in range(up_kernel):
+            sh = vp[:, u:u + hl, v:v + wl]
+            up = jnp.repeat(jnp.repeat(sh, scale, axis=1), scale, axis=2)
+            out = out + (hr_weights[..., u * up_kernel + v, None]
+                         .astype(jnp.float32) * up.astype(jnp.float32))
+    return out
+
+
+def sapa_sim(q: jnp.ndarray, k: jnp.ndarray, up_kernel: int,
+             scale: int) -> jnp.ndarray:
+    """The `sapa.sim` op: q [B, H*s, W*s, E] x k [B, H, W, E] ->
+    [B, H*s, W*s, K^2] window dot-product logits."""
+    b, hl, wl, e = k.shape
+    r = up_kernel // 2
+    kp = jnp.pad(k, ((0, 0), (r, r), (r, r), (0, 0)))
+    logits = []
+    for u in range(up_kernel):
+        for v in range(up_kernel):
+            sh = kp[:, u:u + hl, v:v + wl]
+            up = jnp.repeat(jnp.repeat(sh, scale, axis=1), scale, axis=2)
+            logits.append(jnp.sum(q.astype(jnp.float32) * up.astype(jnp.float32),
+                                  axis=-1))
+    return jnp.stack(logits, axis=-1)
+
+
+def sapa_atn(attn: jnp.ndarray, v: jnp.ndarray, up_kernel: int,
+             scale: int) -> jnp.ndarray:
+    """The `sapa.atn` op: attn [B, H*s, W*s, K^2] x v [B, H, W, C] ->
+    [B, H*s, W*s, C] reassembled values."""
+    return _sapa_window_apply(attn, v, up_kernel, scale)
+
+
+def _layernorm_last(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - m), axis=-1, keepdims=True)
+    y = (x32 - m) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def sapa_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
+                 up_kernel: int = 5, scale: int = 2) -> jnp.ndarray:
+    """4 stacked 2x SAPA stages (reference SAPAUpsampler, upsamplers.py:
+    137-156; per-stage math = SAPAModule.forward :103-118): queries from
+    the LayerNormed adaptive-pooled guidance, keys from the LayerNormed
+    source, values = the raw (un-normalised) source."""
+    x = source
+    for stage in p["stages"]:
+        _, _, h, w = x.shape
+        y = adaptive_avg_pool2d(guidance, (h * 2, w * 2))
+        y_n = _layernorm_last(y.transpose(0, 2, 3, 1), stage["norm_y"])
+        x_nhwc = x.transpose(0, 2, 3, 1)
+        x_n = _layernorm_last(x_nhwc, stage["norm_x"])
+        q = (y_n.astype(jnp.float32) @ stage["q_w"].astype(jnp.float32).T
+             + stage["q_b"].astype(jnp.float32))
+        k = (x_n.astype(jnp.float32) @ stage["k_w"].astype(jnp.float32).T
+             + stage["k_b"].astype(jnp.float32))
+        attn = jax.nn.softmax(sapa_sim(q, k, up_kernel, scale), axis=-1)
+        out = sapa_atn(attn, x_nhwc, up_kernel, scale)
+        x = out.transpose(0, 3, 1, 2).astype(source.dtype)
+    return x
+
+
+def init_sapa_params(key, dim: int, guidance_dim: int = 3,
+                     embedding_dim: int = 64, dtype=jnp.float32) -> dict:
+    """trunc_normal(std=.02) linears, zero bias, unit LayerNorm — the
+    reference SAPAModule._init_weights (upsamplers.py:120-135)."""
+    stages = []
+    for i in range(4):
+        kq, kk = jax.random.split(jax.random.fold_in(key, i))
+        stages.append({
+            "norm_y": {"scale": jnp.ones((guidance_dim,), dtype),
+                       "bias": jnp.zeros((guidance_dim,), dtype)},
+            "norm_x": {"scale": jnp.ones((dim,), dtype),
+                       "bias": jnp.zeros((dim,), dtype)},
+            "q_w": (jnp.clip(jax.random.truncated_normal(
+                kq, -2.0, 2.0, (embedding_dim, guidance_dim)), -2, 2)
+                * 0.02).astype(dtype),
+            "q_b": jnp.zeros((embedding_dim,), dtype),
+            "k_w": (jnp.clip(jax.random.truncated_normal(
+                kk, -2.0, 2.0, (embedding_dim, dim)), -2, 2) * 0.02).astype(dtype),
+            "k_b": jnp.zeros((embedding_dim,), dtype),
         })
     return {"stages": stages}
 

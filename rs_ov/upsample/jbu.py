@@ -158,7 +158,8 @@ def jbu_module_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
                 guidance.transpose(0, 2, 3, 1),
                 _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
                 pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
-                fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter)
+                fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter,
+                slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0")
     else:
         logits = jnp.stack(
             [jnp.sum(proj_padded[:, :, u:u + gh, v:v + gw] * proj, axis=1)
@@ -232,7 +233,8 @@ def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarr
         guidance_cf.transpose(0, 2, 3, 1),
         _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
         pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
-        fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter, nhwc=True)
+        fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter, nhwc=True,
+        slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0")
 
 
 def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
@@ -267,7 +269,8 @@ def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
         pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
         fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"],
         final_fixup["w"].reshape(c, c), final_fixup["b"],
-        query_features, diameter)
+        query_features, diameter,
+        slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0")
 
 
 def jbu_one_forward_nhwc_classify(p: dict, source: jnp.ndarray,
@@ -480,7 +483,10 @@ def get_upsampler(name: str):
         from rs_ov.upsample.alternates import carafe_forward, init_carafe_params
 
         return carafe_forward, init_carafe_params
+    if name == "sapa":
+        from rs_ov.upsample.alternates import init_sapa_params, sapa_forward
+
+        return sapa_forward, init_sapa_params
     raise ValueError(
         f"Unknown upsampler '{name}' (known: bilinear, jbu_one, jbu_stack, "
-        f"resize_conv, ifa, carafe; sapa needs its external training weights "
-        f"and is not ported)")
+        f"resize_conv, ifa, carafe, sapa)")
