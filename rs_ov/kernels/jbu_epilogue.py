@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["jbu_epilogue_pallas", "jbu_epilogue_classify_pallas"]
+__all__ = ["jbu_epilogue_pallas", "jbu_epilogue_classify_pallas",
+           "jbu_epilogue_fused_pallas", "jbu_epilogue_fused_classify_pallas"]
 
 _HT = 16   # output rows per grid step (>= d-1 so the halo spans <= 2 blocks)
 _WT = 112  # output cols per grid step (WT + d - 1 <= 128 for d <= 17)
@@ -78,6 +79,37 @@ def _fill_x(x_ref, inpa_ref, inpb_ref, *, ht: int, wt: int, slab: bool):
         x_ref[ht * 128:] = inpb_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
 
 
+def _conv_rows(comb_ref, x_ref, band_ref, *, d: int, ht: int, wt: int, emit):
+    """The v5 concat-K banded adaptive conv: one [WT, d*128] @ [d*128, C]
+    MXU matmul per output row; `emit(i, y)` consumes each fp32 [WT, C] row."""
+    for i in range(ht):
+        for u in range(d):
+            slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
+            slab = jnp.pad(slab.astype(jnp.float32), ((0, 0), (0, 128 - d)))
+            m = pltpu.roll(slab, 0, axis=1, stride=1, stride_axis=0)
+            band_ref[:, u * 128:(u + 1) * 128] = m.astype(jnp.bfloat16)
+        emit(i, jax.lax.dot_general(
+            band_ref[:], x_ref[i * 128:(i + d) * 128],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+
+def _cls_tail(y, fw_ref, fb_ref, qf_ref):
+    """Per-row pipeline tail: final-fixup residual conv (incl. its casts,
+    upsample/jbu._final_fixup_nhwc math), fp32 L2 normalisation, bf16
+    cosine-classifier matmul with fp32 accumulation."""
+    yb = y.astype(jnp.bfloat16)
+    fx2 = jax.lax.dot_general(yb, fw_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    res = ((fx2 + fb_ref[0]) * 0.1).astype(jnp.bfloat16) + yb
+    r32 = res.astype(jnp.float32)
+    inv = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(r32 * r32, axis=-1, keepdims=True), 1e-24))
+    rb = (r32 * inv).astype(jnp.bfloat16)
+    return jax.lax.dot_general(rb, qf_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
             w1_ref, b1_ref, inpa_ref, inpb_ref, out_ref,
             comb_ref, x_ref, band_ref, *, diameter: int, ht: int, wt: int,
@@ -107,16 +139,11 @@ def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
 
     # ---- adaptive conv (v5 concat-K banded matmuls) -------------------
     _fill_x(x_ref, inpa_ref, inpb_ref, ht=ht, wt=wt, slab=slab)
-    for i in range(ht):
-        for u in range(d):
-            slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
-            slab = jnp.pad(slab.astype(jnp.float32), ((0, 0), (0, 128 - d)))
-            m = pltpu.roll(slab, 0, axis=1, stride=1, stride_axis=0)
-            band_ref[:, u * 128:(u + 1) * 128] = m.astype(jnp.bfloat16)
-        out_ref[0, i, 0] = jax.lax.dot_general(
-            band_ref[:], x_ref[i * 128:(i + d) * 128],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    def emit(i, y):
+        out_ref[0, i, 0] = y.astype(out_ref.dtype)
+
+    _conv_rows(comb_ref, x_ref, band_ref, d=d, ht=ht, wt=wt, emit=emit)
 
 
 def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
@@ -146,30 +173,11 @@ def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
     comb_ref[:] = (comb + 0.1 * fix[:, :dd]).astype(jnp.bfloat16)
 
     _fill_x(x_ref, inpa_ref, inpb_ref, ht=ht, wt=wt, slab=slab)
-    for i in range(ht):
-        for u in range(d):
-            slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
-            slab = jnp.pad(slab.astype(jnp.float32), ((0, 0), (0, 128 - d)))
-            m = pltpu.roll(slab, 0, axis=1, stride=1, stride_axis=0)
-            band_ref[:, u * 128:(u + 1) * 128] = m.astype(jnp.bfloat16)
-        y = jax.lax.dot_general(
-            band_ref[:], x_ref[i * 128:(i + d) * 128],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [WT, C] fp32
-        # final fixup (upsample/jbu._final_fixup_nhwc math, incl. its casts)
-        yb = y.astype(jnp.bfloat16)
-        fx2 = jax.lax.dot_general(yb, fw_ref[:], (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        res = ((fx2 + fb_ref[0]) * 0.1).astype(jnp.bfloat16) + yb
-        # L2 normalise + cosine classifier (segmentor math: fp32 norm,
-        # bf16 operands / fp32 accumulation for the query matmul)
-        r32 = res.astype(jnp.float32)
-        inv = jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(r32 * r32, axis=-1, keepdims=True), 1e-24))
-        rb = (r32 * inv).astype(jnp.bfloat16)
-        out_ref[0, i, 0] = jax.lax.dot_general(
-            rb, qf_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+    def emit(i, y):
+        out_ref[0, i, 0] = _cls_tail(y, fw_ref, fb_ref, qf_ref)
+
+    _conv_rows(comb_ref, x_ref, band_ref, d=d, ht=ht, wt=wt, emit=emit)
 
 
 @functools.partial(jax.jit,
@@ -408,3 +416,269 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
       fwt, fbp, qft)
 
     return out_t.reshape(b, hpad, n_wb * wt, 128)[:, :h, :w, :q]
+
+
+# ---------------------------------------------------------------------------
+# fully fused stage: range logits computed IN-kernel (2-D halo on the
+# guidance projection) — the [B, d^2, H, W] fp32 logits tensor, its HBM
+# round-trip, its pixel-major transpose, and both reflect-pad passes all
+# disappear (reference ops replaced: simfeatup_dev/upsamplers.py:230-274).
+#
+# MEASURED SLOWER than the split path on v5e (0.747x per chunk, 0/24 trial
+# wins): the d^2 tap dot-products lower to VPU elementwise-reduce loops
+# here, while the standalone range_logits kernel runs them as MXU matmuls —
+# the saved HBM traffic doesn't cover the compute regression. Kept opt-in
+# (RS_OV_JBU_FUSED_RANGE=1) and correctness-tested; see benchmarks/PERF.md.
+# ---------------------------------------------------------------------------
+
+def _range_front(proja_ref, projb_ref, guid_ref, sp_ref, temp_ref, w0_ref,
+                 b0_ref, w1_ref, b1_ref, comb_ref, pwin_ref, lg_ref, xm_ref,
+                 *, d: int, ht: int, wt: int, dd: int, g: int):
+    """Compute comb' (the fixed-up combined kernel) into comb_ref [ht*wt, dd]
+    from the raw range projection.
+
+    Tap-major layout trick: logits live [taps, ht, wt] (tap t = u*d+v written
+    as a natural [ht, wt] plane), the softmax/normalise are axis-0
+    elementwise reductions, the fixup 1x1 convs are per-row [128,128] @
+    [128, wt] MXU matmuls, and one [dd, wt] transpose per output row lands
+    comb' in the pixel-major layout the banded conv consumes."""
+    r = (d - 1) // 2
+    off = pl.program_id(2) * wt
+    # 2*ht x 128 halo'd projection window (rows carry the r-halo via the
+    # dual-ref trick, columns via the wt+2r <= 128 slice)
+    pwin_ref[:ht] = proja_ref[0, :, pl.ds(off, 128), :]
+    pwin_ref[ht:] = projb_ref[0, :, pl.ds(off, 128), :]
+    # guidance arrives window-prestacked [1, 1, g, ht, wt] (stacking the tiny
+    # 3-channel tensor in XLA keeps the block's last dim == the array's,
+    # satisfying the (8,128) tiling rule a wt-wide slice would break)
+    guid_blk = guid_ref[0, 0]
+    center = pwin_ref[r:r + ht, r:r + wt, :]
+    for u in range(d):
+        for v in range(d):
+            sh = pwin_ref[u:u + ht, v:v + wt, :]
+            lg_ref[u * d + v] = jnp.sum(center * sh, axis=-1)
+    s = lg_ref[:dd] * temp_ref[0]
+    mx = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - mx)
+    rk = e / jnp.sum(e, axis=0, keepdims=True)
+    comb = rk * sp_ref[:dd, :wt][:, None, :]
+    comb = comb / jnp.clip(jnp.sum(comb, axis=0, keepdims=True), 1e-7, None)
+    # fixup projection (tap-major: mid = W0 @ x per row block); the
+    # comb -> guidance-dtype cast matches the XLA path's concat cast
+    xm_ref[:dd] = comb.astype(guid_ref.dtype).astype(jnp.float32)
+    xm_ref[dd:dd + g] = guid_blk.astype(jnp.float32)
+    xm_ref[dd + g:] = jnp.zeros((128 - dd - g, ht, wt), jnp.float32)
+    for i in range(ht):
+        xi = xm_ref[:, i, :]
+        mid = _gelu_exact(
+            jax.lax.dot_general(w0_ref[:], xi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + b0_ref[:, 0:1])
+        fix = jax.lax.dot_general(w1_ref[:], mid, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) + b1_ref[:, 0:1]
+        ci = comb[:, i, :] + 0.1 * fix[:dd]
+        comb_ref[i * wt:(i + 1) * wt, :] = ci.T.astype(jnp.bfloat16)
+
+
+def _kernel_fr(proja_ref, projb_ref, guid_ref, sp_ref, temp_ref, w0_ref,
+               b0_ref, w1_ref, b1_ref, inpa_ref, inpb_ref, out_ref,
+               comb_ref, x_ref, band_ref, pwin_ref, lg_ref, xm_ref, *,
+               diameter: int, ht: int, wt: int, dd: int, g: int):
+    _range_front(proja_ref, projb_ref, guid_ref, sp_ref, temp_ref, w0_ref,
+                 b0_ref, w1_ref, b1_ref, comb_ref, pwin_ref, lg_ref, xm_ref,
+                 d=diameter, ht=ht, wt=wt, dd=dd, g=g)
+    _fill_x(x_ref, inpa_ref, inpb_ref, ht=ht, wt=wt, slab=True)
+
+    def emit(i, y):
+        out_ref[0, i, 0] = y.astype(out_ref.dtype)
+
+    _conv_rows(comb_ref, x_ref, band_ref, d=diameter, ht=ht, wt=wt, emit=emit)
+
+
+def _kernel_fr_cls(proja_ref, projb_ref, guid_ref, sp_ref, temp_ref, w0_ref,
+                   b0_ref, w1_ref, b1_ref, inpa_ref, inpb_ref, fw_ref, fb_ref,
+                   qf_ref, out_ref, comb_ref, x_ref, band_ref, pwin_ref,
+                   lg_ref, xm_ref, *, diameter: int, ht: int, wt: int,
+                   dd: int, g: int):
+    _range_front(proja_ref, projb_ref, guid_ref, sp_ref, temp_ref, w0_ref,
+                 b0_ref, w1_ref, b1_ref, comb_ref, pwin_ref, lg_ref, xm_ref,
+                 d=diameter, ht=ht, wt=wt, dd=dd, g=g)
+    _fill_x(x_ref, inpa_ref, inpb_ref, ht=ht, wt=wt, slab=True)
+
+    def emit(i, y):
+        out_ref[0, i, 0] = _cls_tail(y, fw_ref, fb_ref, qf_ref)
+
+    _conv_rows(comb_ref, x_ref, band_ref, d=diameter, ht=ht, wt=wt, emit=emit)
+
+
+def _pad_reflect_block(x: jnp.ndarray, r: int, rows_total: int,
+                       cols_total: int) -> jnp.ndarray:
+    """Reflect-pad H/W of [B, H, W, C] by r and zero-extend to the block
+    grid — ONE XLA pad when the extended amounts are reflect-legal
+    (pad < dim; the dead zone then holds reflected data instead of zeros,
+    which only ever feeds cropped outputs), else two."""
+    h, w = x.shape[1], x.shape[2]
+    bot = rows_total - h - r
+    right = cols_total - w - r
+    if 0 <= bot <= h - 1 and 0 <= right <= w - 1:
+        return jnp.pad(x, ((0, 0), (r, bot), (r, right), (0, 0)),
+                       mode="reflect")
+    xr = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+    return jnp.pad(xr, ((0, 0), (0, bot - r), (0, right - r), (0, 0)))
+
+
+def _fused_operands(inp, proj, guid_cf, spatial, pos_temp, w0, b0, w1, b1,
+                    diameter):
+    """Shared operand/spec construction for the fused-range wrappers."""
+    b, h, w, c = inp.shape
+    k = proj.shape[-1]
+    g = guid_cf.shape[1]
+    d = diameter
+    dd = d * d
+    assert dd + g <= 128 and d <= 17 and d % 2 == 1 and k <= 128
+    ht = _HT
+    wt = min(_WT, _pad_to(w, 8))
+    assert wt + d - 1 <= 128 and 2 * (d // 2) <= ht
+    hpad = _pad_to(h, ht)
+    wpad = _pad_to(w, wt)
+    n_hb = hpad // ht
+    n_wb = wpad // wt
+    cp = _pad_to(c, 128)
+    rows_total = (n_hb + 1) * ht
+    wcols = (n_wb - 1) * wt + 128
+    r = d // 2
+
+    inp_t = _pad_reflect_block(inp, r, rows_total, wcols)
+    if cp != c:
+        inp_t = jnp.pad(inp_t, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    proj_t = _pad_reflect_block(proj.astype(jnp.float32), r, rows_total, wcols)
+    guid_p = jnp.pad(guid_cf, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w)))
+    guid_win = jnp.stack([guid_p[:, :, :, i * wt:(i + 1) * wt]
+                          for i in range(n_wb)], axis=1)
+
+    cmid = w0.shape[0]
+    w0p = jnp.zeros((128, 128), jnp.float32).at[:cmid, :dd + g].set(
+        w0.reshape(cmid, dd + g).astype(jnp.float32))
+    w1p = jnp.zeros((128, 128), jnp.float32).at[:dd, :cmid].set(
+        w1.reshape(dd, cmid).astype(jnp.float32))
+    b0p = jnp.zeros((128, 1), jnp.float32).at[:cmid, 0].set(
+        b0.astype(jnp.float32))
+    b1p = jnp.zeros((128, 1), jnp.float32).at[:dd, 0].set(
+        b1.astype(jnp.float32))
+    temp = jnp.reshape(pos_temp.astype(jnp.float32), (1,))
+    sp2d = jnp.broadcast_to(
+        jnp.pad(spatial.astype(jnp.float32).reshape(dd, 1),
+                ((0, 128 - dd), (0, 0))), (128, 128))
+
+    const = lambda bi, hi, wi: (0, 0)  # noqa: E731
+    specs = [
+        pl.BlockSpec((1, ht, wcols, k), lambda bi, hi, wi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, wcols, k), lambda bi, hi, wi: (bi, hi + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, g, ht, wt), lambda bi, hi, wi: (bi, wi, 0, hi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((128, 128), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, wcols, cp), lambda bi, hi, wi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, wcols, cp), lambda bi, hi, wi: (bi, hi + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((ht * wt, dd), jnp.bfloat16),
+               pltpu.VMEM((2 * ht * 128, cp), jnp.bfloat16),
+               pltpu.VMEM((wt, d * 128), jnp.bfloat16),
+               pltpu.VMEM((2 * ht, 128, k), jnp.float32),
+               pltpu.VMEM((128, ht, wt), jnp.float32),
+               pltpu.VMEM((128, ht, wt), jnp.float32)]
+    operands = (proj_t, proj_t, guid_win, sp2d, temp, w0p, b0p, w1p, b1p,
+                inp_t, inp_t)
+    dims = dict(b=b, h=h, w=w, c=c, g=g, dd=dd, ht=ht, wt=wt, hpad=hpad,
+                n_hb=n_hb, n_wb=n_wb, cp=cp)
+    return operands, specs, scratch, dims
+
+
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+def jbu_epilogue_fused_pallas(inp: jnp.ndarray, proj: jnp.ndarray,
+                              guid_cf: jnp.ndarray, spatial: jnp.ndarray,
+                              pos_temp: jnp.ndarray, w0: jnp.ndarray,
+                              b0: jnp.ndarray, w1: jnp.ndarray,
+                              b1: jnp.ndarray, diameter: int,
+                              interpret: bool = False) -> jnp.ndarray:
+    """One fully fused JBU stage. inp: [B, H, W, C] UNpadded bicubic hr
+    source (channel-last); proj: [B, H, W, K] UNpadded range projection
+    (pixel-major, K <= 128); guid_cf: [B, G, H, W] guidance CHANNEL-FIRST
+    (no transpose needed — it rides the kernel tap-major). Reflect padding
+    of inp and proj happens inside. Other args as jbu_epilogue_pallas.
+    -> [B, H, W, C] in inp dtype."""
+    operands, specs, scratch, dm = _fused_operands(
+        inp, proj, guid_cf, spatial, pos_temp, w0, b0, w1, b1, diameter)
+    kernel = functools.partial(_kernel_fr, diameter=diameter, ht=dm["ht"],
+                               wt=dm["wt"], dd=dm["dd"], g=dm["g"])
+    out_t = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (dm["b"], dm["hpad"], dm["n_wb"], dm["wt"], dm["cp"]), inp.dtype),
+        grid=(dm["b"], dm["n_hb"], dm["n_wb"]),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, dm["ht"], 1, dm["wt"], dm["cp"]),
+                               lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out_t.reshape(dm["b"], dm["hpad"], dm["n_wb"] * dm["wt"],
+                         dm["cp"])[:, :dm["h"], :dm["w"], :dm["c"]]
+
+
+@functools.partial(jax.jit, static_argnames=("diameter", "interpret"))
+def jbu_epilogue_fused_classify_pallas(
+        inp: jnp.ndarray, proj: jnp.ndarray, guid_cf: jnp.ndarray,
+        spatial: jnp.ndarray, pos_temp: jnp.ndarray, w0: jnp.ndarray,
+        b0: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+        fixup_w: jnp.ndarray, fixup_b: jnp.ndarray,
+        query_features: jnp.ndarray, diameter: int,
+        interpret: bool = False) -> jnp.ndarray:
+    """jbu_epilogue_fused_pallas + the pipeline tail (final-fixup conv, L2
+    norm, cosine classifier) per output row -> [B, H, W, Q<=128] fp32."""
+    operands, specs, scratch, dm = _fused_operands(
+        inp, proj, guid_cf, spatial, pos_temp, w0, b0, w1, b1, diameter)
+    c, cp = dm["c"], dm["cp"]
+    q = query_features.shape[0]
+    assert q <= 128
+    fwt = jnp.zeros((cp, cp), jnp.bfloat16).at[:c, :c].set(
+        fixup_w.reshape(c, c).T.astype(jnp.bfloat16))
+    fbp = jnp.zeros((1, cp), jnp.float32).at[0, :c].set(
+        fixup_b.astype(jnp.float32))
+    qft = jnp.zeros((cp, 128), jnp.bfloat16).at[:c, :q].set(
+        query_features.T.astype(jnp.bfloat16))
+    const = lambda bi, hi, wi: (0, 0)  # noqa: E731
+    specs = specs + [
+        pl.BlockSpec((cp, cp), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((cp, 128), const, memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_kernel_fr_cls, diameter=diameter, ht=dm["ht"],
+                               wt=dm["wt"], dd=dm["dd"], g=dm["g"])
+    out_t = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (dm["b"], dm["hpad"], dm["n_wb"], dm["wt"], 128), jnp.float32),
+        grid=(dm["b"], dm["n_hb"], dm["n_wb"]),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, dm["ht"], 1, dm["wt"], 128),
+                               lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands, fwt, fbp, qft)
+    return out_t.reshape(dm["b"], dm["hpad"], dm["n_wb"] * dm["wt"],
+                         128)[:, :dm["h"], :dm["w"], :q]

@@ -115,6 +115,19 @@ def _proj2(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return _conv1x1(_gelu(_conv1x1(x, p["w0"], p["b0"])), p["w1"], p["b1"])
 
 
+def _conv1x1_nhwc(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    w2 = w.reshape(w.shape[0], -1)
+    y = jnp.einsum("bhwc,oc->bhwo", x.astype(jnp.float32),
+                   w2.astype(jnp.float32), preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _proj2_nhwc(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """_proj2 on [B, H, W, G] (same fp32 math / dtype round-trips)."""
+    return _conv1x1_nhwc(_gelu(_conv1x1_nhwc(x, p["w0"], p["b0"])),
+                         p["w1"], p["b1"])
+
+
 def _spatial_kernel(diameter: int, sigma_spatial: jnp.ndarray) -> jnp.ndarray:
     """exp(-(x^2+y^2) / (2 sigma^2)) over a [-1,1]^2 window (reference :240-251)."""
     dist = np.linspace(-1.0, 1.0, diameter, dtype=np.float32)
@@ -219,15 +232,33 @@ def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarr
 
     diameter = radius * 2 + 1
     _, _, gh, gw = guidance_cf.shape
+    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
+    fx = p["fixup_proj"]
+
+    if os.environ.get("RS_OV_JBU_FUSED_RANGE", "0") == "1":
+        # fully fused stage: the range logits are computed IN-kernel from a
+        # 2-D halo'd window of the guidance projection — the [B, d^2, H, W]
+        # fp32 logits tensor, its HBM round-trip, its pixel-major transpose
+        # and both reflect-pad passes all disappear. OPT-IN: measured 0.747x
+        # the split path on v5e (the tap dot-products run on the VPU here vs
+        # MXU matmuls in the range_logits kernel) — benchmarks/PERF.md
+        from rs_ov.kernels.jbu_epilogue import jbu_epilogue_fused_pallas
+
+        proj = _proj2_nhwc(jnp.transpose(guidance_cf, (0, 2, 3, 1)),
+                           p["range_proj"]).astype(jnp.float32)
+        hr = resize_bicubic_nhwc(source, (gh, gw))
+        return jbu_epilogue_fused_pallas(
+            hr, proj, guidance_cf,
+            _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
+            pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
+            fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter)
 
     proj = _proj2(guidance_cf, p["range_proj"]).astype(jnp.float32)
     proj_padded = reflect_pad_2d(proj, radius)
-    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
     logits = range_logits_pallas(proj_padded, proj, diameter)
 
     hr = resize_bicubic_nhwc(source, (gh, gw))
     hr_padded = reflect_pad_nhwc(hr, radius)
-    fx = p["fixup_proj"]
     return jbu_epilogue_pallas(
         hr_padded, logits.transpose(0, 2, 3, 1),
         guidance_cf.transpose(0, 2, 3, 1),
@@ -252,16 +283,30 @@ def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
 
     diameter = radius * 2 + 1
     _, _, gh, gw = guidance_cf.shape
+    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
+    fx = p["fixup_proj"]
+    c = source.shape[-1]
+
+    if os.environ.get("RS_OV_JBU_FUSED_RANGE", "0") == "1":
+        from rs_ov.kernels.jbu_epilogue import jbu_epilogue_fused_classify_pallas
+
+        proj = _proj2_nhwc(jnp.transpose(guidance_cf, (0, 2, 3, 1)),
+                           p["range_proj"]).astype(jnp.float32)
+        hr = resize_bicubic_nhwc(source, (gh, gw))
+        return jbu_epilogue_fused_classify_pallas(
+            hr, proj, guidance_cf,
+            _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
+            pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
+            fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"],
+            final_fixup["w"].reshape(c, c), final_fixup["b"],
+            query_features, diameter)
 
     proj = _proj2(guidance_cf, p["range_proj"]).astype(jnp.float32)
     proj_padded = reflect_pad_2d(proj, radius)
-    pos_temp = jnp.clip(jnp.exp(p["range_temp"].astype(jnp.float32)), 1e-4, 1e4)
     logits = range_logits_pallas(proj_padded, proj, diameter)
 
     hr = resize_bicubic_nhwc(source, (gh, gw))
     hr_padded = reflect_pad_nhwc(hr, radius)
-    fx = p["fixup_proj"]
-    c = source.shape[-1]
     return jbu_epilogue_classify_pallas(
         hr_padded, logits.transpose(0, 2, 3, 1),
         guidance_cf.transpose(0, 2, 3, 1),

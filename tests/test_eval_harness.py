@@ -197,7 +197,7 @@ def test_error_paths():
     with pytest.raises(KeyError, match="Unknown dataset"):
         get_dataset_meta("NopeDataset")
     with pytest.raises(ValueError, match="Unknown upsampler"):
-        get_upsampler("sapa")
+        get_upsampler("nope_upsampler")
     from rs_ov.pipeline.segmentor import SegmentorEx
 
     with pytest.raises(NotImplementedError, match="clip_type"):

@@ -207,6 +207,63 @@ def test_jbu_epilogue_fused_matches_xla_composition():
     np.testing.assert_allclose(got_cls, want, atol=2e-2)
 
 
+def test_jbu_epilogue_fused_range_matches_split():
+    """Fully fused stage (range logits computed IN-kernel from the halo'd
+    guidance projection) vs the split path: XLA reflect-pad + shifted-reduction
+    logits feeding jbu_epilogue_pallas. Same math, so near-bit-exact (fp32
+    sum-order in the logits dot differs)."""
+    from rs_ov.kernels.jbu_epilogue import (
+        jbu_epilogue_classify_pallas, jbu_epilogue_fused_classify_pallas,
+        jbu_epilogue_fused_pallas, jbu_epilogue_pallas)
+    from rs_ov.upsample.jbu import _spatial_kernel
+    from rs_ov.utils.resize import reflect_pad_nhwc
+
+    rng = np.random.RandomState(7)
+    b, c, h, w, d, g, k = 1, 8, 21, 19, 5, 3, 6
+    r = d // 2
+    dd = d * d
+    proj = jnp.asarray(rng.randn(b, h, w, k).astype(np.float32))
+    guidance = jnp.asarray(rng.randn(b, g, h, w), jnp.bfloat16)
+    inp = jnp.asarray(rng.randn(b, h, w, c), jnp.bfloat16)  # NHWC, unpadded
+    w0 = jnp.asarray(rng.randn(dd, dd + g) * 0.2, jnp.bfloat16)
+    b0 = jnp.asarray(rng.randn(dd) * 0.1, jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(dd, dd) * 0.2, jnp.bfloat16)
+    b1 = jnp.asarray(rng.randn(dd) * 0.1, jnp.bfloat16)
+    spatial = _spatial_kernel(d, jnp.asarray(0.7, jnp.float32))
+    pos_temp = jnp.asarray(1.3, jnp.float32)
+
+    # split-path reference: XLA reflect-pad + shifted-reduction range logits
+    proj_cf = proj.transpose(0, 3, 1, 2)
+    pp = jnp.pad(proj_cf, ((0, 0), (0, 0), (r, r), (r, r)), mode="reflect")
+    logits = jnp.stack(
+        [jnp.sum(pp[:, :, u:u + h, v:v + w] * proj_cf, axis=1)
+         for u in range(d) for v in range(d)], axis=1)
+    inp_padded = reflect_pad_nhwc(inp, r)
+    ref = np.asarray(jbu_epilogue_pallas(
+        inp_padded, logits.transpose(0, 2, 3, 1), guidance.transpose(0, 2, 3, 1),
+        spatial.reshape(-1), pos_temp, w0, b0, w1, b1, d,
+        interpret=True, nhwc=True), np.float32)
+
+    got = np.asarray(jbu_epilogue_fused_pallas(
+        inp, proj, guidance, spatial.reshape(-1), pos_temp,
+        w0, b0, w1, b1, d, interpret=True), np.float32)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+    fw = jnp.asarray(rng.randn(c, c) * 0.2, jnp.bfloat16)
+    fb = jnp.asarray(rng.randn(c) * 0.1, jnp.bfloat16)
+    qf = jnp.asarray(rng.randn(3, c).astype(np.float32))
+    qf = qf / jnp.linalg.norm(qf, axis=-1, keepdims=True)
+    ref_cls = np.asarray(jbu_epilogue_classify_pallas(
+        inp_padded, logits.transpose(0, 2, 3, 1), guidance.transpose(0, 2, 3, 1),
+        spatial.reshape(-1), pos_temp, w0, b0, w1, b1, fw, fb, qf, d,
+        interpret=True))
+    got_cls = np.asarray(jbu_epilogue_fused_classify_pallas(
+        inp, proj, guidance, spatial.reshape(-1), pos_temp,
+        w0, b0, w1, b1, fw, fb, qf, d, interpret=True))
+    np.testing.assert_allclose(got_cls, ref_cls, atol=2e-2)
+
+
 def test_range_logits_kernel_matches_xla():
     """JBU range-kernel logits (local self-correlation) vs the shifted
     channel-reduction reference formulation."""
