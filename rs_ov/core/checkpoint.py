@@ -518,8 +518,18 @@ def coca_params_from_state_dict(sd: Mapping[str, np.ndarray],
     visual = vision_params_from_state_dict(sd, prefix="visual.", dtype=dtype)
     visual["attn_pool"] = pool("visual.attn_pool")
 
-    text = text_params_from_state_dict(sd, prefix="text.", dtype=dtype)
-    text["cls_emb"] = jnp.asarray(sd["text.cls_emb"], dtype)
+    if "text.transformer.embeddings.word_embeddings.weight" in sd:
+        # HF text tower (coca_roberta-*): text.transformer.* RobertaModel +
+        # text.proj.* head (reference hf_model.py:121-154)
+        from rs_ov.nn.hf_text import hf_text_params_from_state_dict
+
+        import jax
+
+        text = jax.tree.map(lambda x: x.astype(dtype),
+                            hf_text_params_from_state_dict(sd, prefix="text."))
+    else:
+        text = text_params_from_state_dict(sd, prefix="text.", dtype=dtype)
+        text["cls_emb"] = jnp.asarray(sd["text.cls_emb"], dtype)
 
     n = _count_blocks(sd, "text_decoder.resblocks")
     cross = []

@@ -77,7 +77,8 @@ class TextConfig:
     # tokenizer routing (reference tokenizer.py:397-510): which tokenizer
     # feeds this tower, plus its cleaning mode / sep handling
     hf_tokenizer_name: Optional[str] = None
-    hf_model_name: Optional[str] = None  # HF text tower (unported: hf_model.py)
+    hf_model_name: Optional[str] = None  # HF text tower (nn/hf_text.py)
+    hf_proj_type: Optional[str] = None   # None | 'linear' | 'mlp'
     tokenizer_clean: Optional[str] = None     # e.g. 'canonicalize' (SigLIP)
     strip_sep_token: bool = False             # CLIPA bert tokenization
 
@@ -295,15 +296,19 @@ def get_coca_config(name: str):
     from rs_ov.nn.coca import CoCaConfig, MultimodalConfig
 
     if name == "coca_roberta-ViT-B-32":
-        # HF roberta text tower (reference hf_model.py) — registry parity
-        # only; flagged via hf_model_name so construction can refuse clearly
+        # HF roberta text tower (reference hf_model.py -> rs_ov/nn/hf_text.py).
+        # NOTE: the reference's own caption forward is broken for this config
+        # (512-d image_embs vs a 768-wide decoder cross-attn LN,
+        # coca_model.py:92-123 + transformer.py:768-770); the contrastive
+        # encode_image/encode_text surface is what works — here too.
         return CoCaConfig(
             embed_dim=512,
             vision=VisionConfig(image_size=224, patch_size=32, width=768,
                                 layers=12, output_dim=512, output_tokens=True),
             text=TextConfig(width=768, output_dim=512, output_tokens=True,
                             hf_model_name="roberta-base",
-                            hf_tokenizer_name="roberta-base"),
+                            hf_tokenizer_name="roberta-base",
+                            hf_proj_type="linear"),
             multimodal=MultimodalConfig(context_length=76, width=768,
                                         heads=8, layers=12),
         )

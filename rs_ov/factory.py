@@ -114,11 +114,6 @@ def _create_coca(model_name: str, pretrained, dtype, seed: int):
     from rs_ov.nn.coca import init_coca_params
 
     cfg = get_coca_config(model_name)
-    if cfg.text.hf_model_name:
-        raise NotImplementedError(
-            f"{model_name} uses an HF text tower ({cfg.text.hf_model_name}; "
-            "reference hf_model.py) — out of the TPU-native scope. Use "
-            "coca_ViT-B-32 / coca_ViT-L-14 / coca_base.")
     if pretrained and os.path.exists(pretrained):
         sd = load_torch_state_dict(pretrained)
         params = cast_floating(coca_params_from_state_dict(sd), dtype)

@@ -39,6 +39,7 @@ class BertConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
+    layer_norm_eps: float = _LN_EPS  # RoBERTa-family towers use 1e-5
 
 
 def _split_heads(x, heads):
@@ -47,14 +48,22 @@ def _split_heads(x, heads):
 
 
 def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
-                cfg: BertConfig) -> jnp.ndarray:
-    """input_ids/attention_mask: [B, L] -> last_hidden_state [B, L, H]."""
+                cfg: BertConfig,
+                position_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """input_ids/attention_mask: [B, L] -> last_hidden_state [B, L, H].
+
+    position_ids overrides the default 0..L-1 positions (RoBERTa-family
+    towers use pad-offset positions, see nn/hf_text.py)."""
+    eps = cfg.layer_norm_eps
     emb = p["embeddings"]
     x = emb["word"][input_ids]
-    x = x + emb["position"][: input_ids.shape[1]].astype(x.dtype)[None]
+    if position_ids is None:
+        x = x + emb["position"][: input_ids.shape[1]].astype(x.dtype)[None]
+    else:
+        x = x + emb["position"][position_ids].astype(x.dtype)
     if "token_type" in emb:
         x = x + emb["token_type"][0].astype(x.dtype)[None, None, :]
-    x = layer_norm(x, emb["ln"], eps=_LN_EPS)
+    x = layer_norm(x, emb["ln"], eps=eps)
 
     # additive mask: 0 for attend, -inf-ish for padding (HF convention)
     mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
@@ -72,8 +81,8 @@ def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
         ctx = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
         ctx = ctx.transpose(0, 2, 1, 3).reshape(x.shape).astype(x.dtype)
         attn_out = linear(ctx, layer["attn_out_w"], layer["attn_out_b"])
-        x = layer_norm(x + attn_out, layer["attn_ln"], eps=_LN_EPS)
+        x = layer_norm(x + attn_out, layer["attn_ln"], eps=eps)
         inter = gelu(linear(x, layer["inter_w"], layer["inter_b"]))
         out = linear(inter, layer["out_w"], layer["out_b"])
-        x = layer_norm(x + out, layer["out_ln"], eps=_LN_EPS)
+        x = layer_norm(x + out, layer["out_ln"], eps=eps)
     return x

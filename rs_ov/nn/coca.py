@@ -149,9 +149,25 @@ def coca_encode_text(p: dict, text_ids: jnp.ndarray, cfg: CoCaConfig,
                      normalize: bool = True):
     """embed_cls text tower: learned CLS appended at the END (reference
     transformer.py:1064-1099). Returns (text_latent [B, D],
-    token_embs [B, L, width] — un-normed, pre-ln_final)."""
+    token_embs [B, L, width] — un-normed, pre-ln_final).
+
+    Configs with an HF text tower (coca_roberta-ViT-B-32) dispatch to
+    rs_ov.nn.hf_text instead (reference model.py:182-190 builds an
+    HFTextEncoder with output_tokens=True there)."""
     t = p["text"]
     tcfg = cfg.text
+    if tcfg.hf_model_name:
+        from rs_ov.nn.hf_text import hf_text_config, hf_text_encode
+
+        hcfg = hf_text_config(tcfg.hf_model_name, output_dim=cfg.embed_dim,
+                              proj_type=tcfg.hf_proj_type)
+        pooled, tokens = hf_text_encode(t, text_ids, hcfg, output_tokens=True)
+        if normalize:
+            p32 = pooled.astype(jnp.float32)
+            pooled = (p32 / jnp.maximum(
+                jnp.linalg.norm(p32, axis=-1, keepdims=True), 1e-12)
+            ).astype(pooled.dtype)
+        return pooled, tokens
     act = quick_gelu if cfg.quick_gelu else gelu
     b, seq = text_ids.shape
     x = t["token_embedding"][text_ids]
@@ -415,18 +431,25 @@ def init_coca_params(key, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
         "ln_post": _init_ln(d, dtype),  # pool_dim = output_dim for attn_pool
         "proj": (jax.random.normal(kp, (d, d)) * d ** -0.5).astype(dtype),
     }
-    text = {
-        "token_embedding": (jax.random.normal(tks[0], (tcfg.vocab_size, tcfg.width))
-                            * 0.02).astype(dtype),
-        "positional_embedding": (jax.random.normal(
-            tks[1], (tcfg.context_length + 1, tcfg.width)) * 0.01).astype(dtype),
-        "cls_emb": (jax.random.normal(tks[2], (tcfg.width,)) * 0.01).astype(dtype),
-        "blocks": [_init_block(tks[3 + i], tcfg.width, tcfg.mlp_ratio, dtype)
-                   for i in range(tcfg.layers)],
-        "ln_final": _init_ln(tcfg.width, dtype),
-        "text_projection": (jax.random.normal(km, (tcfg.width, tcfg.output_dim))
-                            * tcfg.width ** -0.5).astype(dtype),
-    }
+    if tcfg.hf_model_name:
+        from rs_ov.nn.hf_text import hf_text_config, init_hf_text_params
+
+        text = init_hf_text_params(
+            kt, hf_text_config(tcfg.hf_model_name, output_dim=cfg.embed_dim,
+                               proj_type=tcfg.hf_proj_type), dtype)
+    else:
+        text = {
+            "token_embedding": (jax.random.normal(
+                tks[0], (tcfg.vocab_size, tcfg.width)) * 0.02).astype(dtype),
+            "positional_embedding": (jax.random.normal(
+                tks[1], (tcfg.context_length + 1, tcfg.width)) * 0.01).astype(dtype),
+            "cls_emb": (jax.random.normal(tks[2], (tcfg.width,)) * 0.01).astype(dtype),
+            "blocks": [_init_block(tks[3 + i], tcfg.width, tcfg.mlp_ratio, dtype)
+                       for i in range(tcfg.layers)],
+            "ln_final": _init_ln(tcfg.width, dtype),
+            "text_projection": (jax.random.normal(km, (tcfg.width, tcfg.output_dim))
+                                * tcfg.width ** -0.5).astype(dtype),
+        }
     cross = []
     for i in range(mcfg.layers):
         blk = _init_block(mks[mcfg.layers + i], mcfg.width, mcfg.mlp_ratio, dtype)

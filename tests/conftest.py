@@ -33,7 +33,7 @@ import pytest  # noqa: E402
 # e2e pipelines, 8-virtual-device runs). The fast tier (`pytest -m "not
 # slow"`) covers all pure-numerics/unit/harness tests in < 3 min.
 SLOW_TEST_MODULES = {
-    "test_blip.py", "test_coca.py", "test_e2e_gem_blip.py",
+    "test_blip.py", "test_coca.py", "test_hf_text.py", "test_e2e_gem_blip.py",
     "test_e2e_pipeline.py", "test_factory.py", "test_kernels.py",
     "test_parallel.py", "test_parity_fullsize.py", "test_parity_gem.py",
     "test_parity_jbu.py", "test_parity_vit.py", "test_resnet_losses.py",

@@ -125,5 +125,5 @@ def test_timm_and_hf_guards():
         create_model("convnext_base")
     with pytest.raises(NotImplementedError):
         create_model("EVA02-L-14")
-    with pytest.raises(NotImplementedError):
-        create_model("coca_roberta-ViT-B-32")
+    # coca_roberta-ViT-B-32 now constructs natively (rs_ov/nn/hf_text.py) —
+    # covered by tests/test_hf_text.py::test_coca_roberta_builds_and_encodes
