@@ -219,7 +219,7 @@ def test_jbu_epilogue_fused_range_matches_split():
     from rs_ov.utils.resize import reflect_pad_nhwc
 
     rng = np.random.RandomState(7)
-    b, c, h, w, d, g, k = 1, 8, 21, 19, 5, 3, 6
+    b, c, h, w, d, g, k = 1, 8, 12, 11, 5, 3, 4
     r = d // 2
     dd = d * d
     proj = jnp.asarray(rng.randn(b, h, w, k).astype(np.float32))
