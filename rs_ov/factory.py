@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rs_ov.core.checkpoint import (clip_params_from_state_dict,
                                    infer_clip_config_from_state_dict,
@@ -45,16 +46,31 @@ class CLIPModel:
                      ignore_residual: bool = False,
                      output_cls_token: bool = False, normalize: bool = False,
                      **call_kwargs):
+        def _norm(x):
+            x32 = x.astype(jnp.float32)
+            return (x32 / jnp.maximum(jnp.linalg.norm(x32, axis=-1, keepdims=True),
+                                      1e-12)).astype(x.dtype)
+
+        if self.cfg.vision.timm_model_name:
+            # native timm-family tower (nn/timm_tower.py): pooled embeddings
+            # only — the decontamination hooks live in the CLIP ViT path
+            if (model_type not in ("vanilla", "default") or ignore_residual
+                    or output_cls_token or call_kwargs):
+                raise NotImplementedError(
+                    f"{self.cfg.vision.timm_model_name} towers expose the "
+                    "plain encode_image(image) contract (reference "
+                    "timm_model.py:150-153); the decontamination/self-self "
+                    "hooks apply to the CLIP ViT towers only.")
+            from rs_ov.nn.timm_tower import timm_tower_forward
+            out = timm_tower_forward(self.params["visual"], jnp.asarray(image),
+                                     self.cfg.vision, self.cfg.embed_dim)
+            return _norm(out) if normalize else out
+
         call = VitCallConfig(model_type=model_type, ignore_residual=ignore_residual,
                              output_cls_token=output_cls_token,
                              quick_gelu=self.cfg.quick_gelu, **call_kwargs)
         out = vit_forward(self.params["visual"], jnp.asarray(image),
                           self.cfg.vision, call)
-
-        def _norm(x):
-            x32 = x.astype(jnp.float32)
-            return (x32 / jnp.maximum(jnp.linalg.norm(x32, axis=-1, keepdims=True),
-                                      1e-12)).astype(x.dtype)
 
         if output_cls_token:
             pooled, tokens = out
@@ -156,16 +172,26 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
             f"({model_name}, {pretrained}) from {url or 'its distributor'} and "
             f"pass the local path as `pretrained`.")
     cfg = get_model_config(model_name)
-    if cfg.vision.timm_model_name:
-        raise NotImplementedError(
-            f"{model_name} specifies a timm vision tower "
-            f"({cfg.vision.timm_model_name}; reference timm_model.py:1-161) — "
-            "registered for name parity, but native construction is out of "
-            "the TPU-native scope. SigLIP-family checkpoints load via the "
-            "big_vision .npz path (core/checkpoint.py); timm-exported plain-"
-            "ViT state dicts load via `pretrained=<path>`.")
     if force_quick_gelu and not cfg.quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
+    if cfg.vision.timm_model_name:
+        # timm-named tower (reference timm_model.py:29-162) -> the native
+        # family implementations in nn/timm_tower.py (ConvNeXt / SigLIP
+        # ViT / EVA), with the reference's (timm_pool, timm_proj) head
+        # semantics. Text side is the standard tower from the same config.
+        from rs_ov.core.params import init_text_params
+        from rs_ov.nn.timm_tower import init_timm_tower_params
+
+        kv, kt = jax.random.split(jax.random.PRNGKey(seed))
+        params = {
+            "visual": init_timm_tower_params(kv, cfg.vision, cfg.embed_dim,
+                                             dtype),
+            "text": init_text_params(kt, cfg.text, dtype),
+            "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype),
+        }
+        if cfg.init_logit_bias is not None:
+            params["logit_bias"] = jnp.asarray(cfg.init_logit_bias, dtype)
+        return CLIPModel(cfg=cfg, params=params)
     params = init_clip_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
     return CLIPModel(cfg=cfg, params=params)
 
