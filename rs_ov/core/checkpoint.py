@@ -160,13 +160,23 @@ def text_params_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str = "",
     """Map the CLIP text-tower state dict (reference model.py:220-270 naming)."""
     p = prefix
     n = _count_blocks(sd, f"{p}transformer.resblocks")
-    return {
+    params = {
         "token_embedding": jnp.asarray(sd[f"{p}token_embedding.weight"], dtype),
         "positional_embedding": jnp.asarray(sd[f"{p}positional_embedding"], dtype),
         "blocks": [_block(sd, f"{p}transformer.resblocks.{i}", dtype) for i in range(n)],
         "ln_final": _ln(sd, f"{p}ln_final", dtype),
-        "text_projection": jnp.asarray(sd[f"{p}text_projection"], dtype),
     }
+    if f"{p}text_projection.weight" in sd:
+        # nn.Linear projection (open_clip proj_bias towers, e.g. SigLIP):
+        # torch (out, in) -> the classic [width, embed] param orientation
+        params["text_projection"] = jnp.asarray(
+            np.asarray(sd[f"{p}text_projection.weight"]).T, dtype)
+        if f"{p}text_projection.bias" in sd:
+            params["text_projection_b"] = jnp.asarray(
+                sd[f"{p}text_projection.bias"], dtype)
+    else:
+        params["text_projection"] = jnp.asarray(sd[f"{p}text_projection"], dtype)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -287,17 +297,176 @@ def vision_params_from_timm_state_dict(sd: Mapping[str, np.ndarray],
     return params
 
 
-def clip_params_from_state_dict(sd: Mapping[str, np.ndarray], dtype=jnp.float32) -> dict:
-    if "visual.conv1.weight" in sd:
+def _hwio(a):
+    """torch OIHW conv weight -> HWIO (the nn/timm_tower.py NHWC layout)."""
+    return np.asarray(a).transpose(2, 3, 1, 0)
+
+
+def timm_tower_params_from_state_dict(sd: Mapping[str, np.ndarray],
+                                      timm_model_name: str,
+                                      prefix: str = "visual.",
+                                      dtype=jnp.float32) -> dict:
+    """Map an open_clip TimmModel export (``visual.trunk.*`` timm names +
+    ``visual.head.*`` adapter head, reference timm_model.py:66-109) onto the
+    nn/timm_tower.py trees for the ConvNeXt / SigLIP-ViT / EVA families."""
+    from rs_ov.nn.timm_tower import timm_arch
+
+    arch = timm_arch(timm_model_name)
+    t = prefix + "trunk."
+
+    def ln(name):
+        return _ln(sd, name, dtype)
+
+    def arr(name):
+        return jnp.asarray(sd[name], dtype)
+
+    if arch.family == "convnext":
+        trunk = {
+            "stem_conv_w": jnp.asarray(_hwio(sd[t + "stem.0.weight"]), dtype),
+            "stem_conv_b": arr(t + "stem.0.bias"),
+            "stem_norm": ln(t + "stem.1"),
+            "head_norm": ln(t + "head.norm"),
+            "stages": [],
+        }
+        for i in range(len(arch.depths)):
+            st = {"blocks": []}
+            if i > 0:
+                st["downsample"] = {
+                    "norm": ln(t + f"stages.{i}.downsample.0"),
+                    "conv_w": jnp.asarray(
+                        _hwio(sd[t + f"stages.{i}.downsample.1.weight"]), dtype),
+                    "conv_b": arr(t + f"stages.{i}.downsample.1.bias"),
+                }
+            for j in range(arch.depths[i]):
+                pre = t + f"stages.{i}.blocks.{j}."
+                st["blocks"].append({
+                    "conv_dw_w": jnp.asarray(_hwio(sd[pre + "conv_dw.weight"]), dtype),
+                    "conv_dw_b": arr(pre + "conv_dw.bias"),
+                    "norm": ln(pre + "norm"),
+                    "fc1_w": arr(pre + "mlp.fc1.weight"),
+                    "fc1_b": arr(pre + "mlp.fc1.bias"),
+                    "fc2_w": arr(pre + "mlp.fc2.weight"),
+                    "fc2_b": arr(pre + "mlp.fc2.bias"),
+                    "gamma": arr(pre + "gamma"),
+                })
+            trunk["stages"].append(st)
+    elif arch.family == "siglip_vit":
+        n = 0
+        while t + f"blocks.{n}.norm1.weight" in sd:
+            n += 1
+        trunk = {
+            "patch_embed_w": arr(t + "patch_embed.proj.weight"),
+            "patch_embed_b": arr(t + "patch_embed.proj.bias"),
+            "pos_embed": jnp.asarray(np.asarray(sd[t + "pos_embed"]).reshape(
+                -1, arch.width), dtype),
+            "blocks": [_timm_block(sd, t + f"blocks.{i}", dtype)
+                       for i in range(n)],
+            "norm": ln(t + "norm"),
+            "attn_pool": {
+                "latent": jnp.asarray(np.asarray(sd[t + "attn_pool.latent"])
+                                      .reshape(-1, arch.width), dtype),
+                "q_w": arr(t + "attn_pool.q.weight"),
+                "q_b": arr(t + "attn_pool.q.bias"),
+                "kv_w": arr(t + "attn_pool.kv.weight"),
+                "kv_b": arr(t + "attn_pool.kv.bias"),
+                "proj_w": arr(t + "attn_pool.proj.weight"),
+                "proj_b": arr(t + "attn_pool.proj.bias"),
+                "norm": ln(t + "attn_pool.norm"),
+                "mlp": {"c_fc_w": arr(t + "attn_pool.mlp.fc1.weight"),
+                        "c_fc_b": arr(t + "attn_pool.mlp.fc1.bias"),
+                        "c_proj_w": arr(t + "attn_pool.mlp.fc2.weight"),
+                        "c_proj_b": arr(t + "attn_pool.mlp.fc2.bias")},
+            },
+        }
+    else:  # eva
+        w = arch.width
+        blocks = []
+        for i in range(arch.depth):
+            pre = t + f"blocks.{i}."
+            blk = {"ln_1": ln(pre + "norm1"), "ln_2": ln(pre + "norm2")}
+            if arch.fused_qkv:
+                if pre + "attn.q_bias" in sd:  # eva fused: no k bias
+                    b = np.concatenate([np.asarray(sd[pre + "attn.q_bias"]),
+                                        np.zeros((w,), np.float32),
+                                        np.asarray(sd[pre + "attn.v_bias"])])
+                else:
+                    b = np.asarray(sd[pre + "attn.qkv.bias"])
+                blk.update({"in_proj_w": arr(pre + "attn.qkv.weight"),
+                            "in_proj_b": jnp.asarray(b, dtype)})
+            else:
+                blk.update({"q_w": arr(pre + "attn.q_proj.weight"),
+                            "q_b": arr(pre + "attn.q_proj.bias"),
+                            "k_w": arr(pre + "attn.k_proj.weight"),
+                            "v_w": arr(pre + "attn.v_proj.weight"),
+                            "v_b": arr(pre + "attn.v_proj.bias")})
+            if arch.scale_attn_inner:
+                blk["inner_norm"] = ln(pre + "attn.norm")
+            blk.update({"out_proj_w": arr(pre + "attn.proj.weight"),
+                        "out_proj_b": arr(pre + "attn.proj.bias")})
+            if arch.swiglu:
+                m = {"fc1g_w": arr(pre + "mlp.fc1_g.weight"),
+                     "fc1g_b": arr(pre + "mlp.fc1_g.bias"),
+                     "fc1x_w": arr(pre + "mlp.fc1_x.weight"),
+                     "fc1x_b": arr(pre + "mlp.fc1_x.bias"),
+                     "fc2_w": arr(pre + "mlp.fc2.weight"),
+                     "fc2_b": arr(pre + "mlp.fc2.bias")}
+            else:
+                m = {"fc1_w": arr(pre + "mlp.fc1.weight"),
+                     "fc1_b": arr(pre + "mlp.fc1.bias"),
+                     "fc2_w": arr(pre + "mlp.fc2.weight"),
+                     "fc2_b": arr(pre + "mlp.fc2.bias")}
+            if arch.scale_mlp:
+                m["mlp_norm"] = ln(pre + "mlp.norm")
+            blk["mlp"] = m
+            blocks.append(blk)
+        trunk = {
+            "patch_embed_w": arr(t + "patch_embed.proj.weight"),
+            "patch_embed_b": arr(t + "patch_embed.proj.bias"),
+            "cls_token": jnp.asarray(np.asarray(sd[t + "cls_token"]).reshape(w),
+                                     dtype),
+            "pos_embed": jnp.asarray(np.asarray(sd[t + "pos_embed"]).reshape(-1, w),
+                                     dtype),
+            "blocks": blocks,
+            "norm": ln(t + "norm"),
+            "head_w": arr(t + "head.weight"),
+            "head_b": arr(t + "head.bias"),
+        }
+
+    params = {"trunk": trunk}
+    h = prefix + "head."
+    if h + "proj.weight" in sd:
+        params["head"] = {"proj_w": arr(h + "proj.weight")}
+        if h + "proj.bias" in sd:
+            params["head"]["proj_b"] = arr(h + "proj.bias")
+    elif h + "mlp.fc1.weight" in sd:
+        params["head"] = {"mlp": {"c_fc_w": arr(h + "mlp.fc1.weight"),
+                                  "c_fc_b": arr(h + "mlp.fc1.bias"),
+                                  "c_proj_w": arr(h + "mlp.fc2.weight"),
+                                  "c_proj_b": arr(h + "mlp.fc2.bias")}}
+    return params
+
+
+def clip_params_from_state_dict(sd: Mapping[str, np.ndarray], dtype=jnp.float32,
+                                timm_model_name: str | None = None) -> dict:
+    if timm_model_name and ("visual.trunk.stem.0.weight" in sd
+                            or "visual.trunk.patch_embed.proj.weight" in sd):
+        visual = timm_tower_params_from_state_dict(sd, timm_model_name,
+                                                   dtype=dtype)
+    elif "visual.conv1.weight" in sd:
         visual = vision_params_from_state_dict(sd, "visual.", dtype)
     else:  # timm-flavoured vision tower export
         visual = vision_params_from_timm_state_dict(sd, dtype=dtype)
-    return {
+    # CustomTextCLIP exports nest the text tower under 'text.'
+    text_prefix = "text." if "text.token_embedding.weight" in sd else ""
+    params = {
         "visual": visual,
-        "text": text_params_from_state_dict(sd, "", dtype),
+        "text": text_params_from_state_dict(sd, text_prefix, dtype),
         "logit_scale": jnp.asarray(sd.get("logit_scale", np.log(1 / 0.07)),
                                    dtype),
     }
+    if "logit_bias" in sd:
+        params["logit_bias"] = jnp.asarray(sd["logit_bias"], dtype)
+    return params
 
 
 def infer_clip_config_from_state_dict(sd: Mapping[str, np.ndarray],

@@ -161,7 +161,9 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
             cfg = get_model_config(model_name)
         except KeyError:
             cfg = infer_clip_config_from_state_dict(sd, quick_gelu=quick_gelu)
-        params = cast_floating(clip_params_from_state_dict(sd), dtype)
+        params = cast_floating(clip_params_from_state_dict(
+            sd, timm_model_name=getattr(cfg.vision, "timm_model_name", None)),
+            dtype)
         return CLIPModel(cfg=cfg, params=params)
     if pretrained:
         from rs_ov.pretrained import get_pretrained_url
