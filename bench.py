@@ -22,6 +22,11 @@ empty tail; MULTICHIP_r01 libtpu AOT mismatch):
   - a "libtpu version mismatch" failure (stale AOT entries in the persistent
     compile cache after a terminal-side libtpu roll) clears
     ~/.cache/rs_ov_xla once and retries;
+  - backend init gets its own deadline (env RS_OV_BENCH_INIT_BUDGET, default
+    150s): a wedged tunnel (e.g. after another process was killed
+    mid-execution the chip reports FAILED_PRECONDITION / hangs for minutes)
+    fails the child fast and the parent retries in a FRESH process, which is
+    what actually recovers;
   - total wall budget: env RS_OV_BENCH_BUDGET seconds (default 420).
 
 The CPU reference number is the reference repo's own torch modules (fp32,
@@ -69,6 +74,7 @@ def _child_main(deadline_s: float) -> None:
         "vs_baseline": 0.0, "error": "no measurement completed",
     }
     lock = threading.Lock()
+    phase = {"name": "init"}
 
     def emit_and_exit(code: int = 0) -> None:
         with lock:
@@ -77,12 +83,26 @@ def _child_main(deadline_s: float) -> None:
         # os._exit: do not risk hanging in tunnel/backend teardown
         os._exit(code)
 
+    # backend init through the tunnel can wedge indefinitely (observed: a
+    # killed TPU process leaves the chip FAILED_PRECONDITION for minutes);
+    # give init its own budget so the parent can retry in a fresh process
+    # instead of burning the whole deadline on one hung jax.devices() call
+    init_budget = min(float(os.environ.get("RS_OV_BENCH_INIT_BUDGET", "150")),
+                      deadline_s * 0.5)
+
     def watchdog() -> None:
-        remain = deadline_s - (time.time() - _T0)
-        if remain > 0:
-            time.sleep(remain)
-        _log("child deadline reached — emitting partial result")
-        emit_and_exit(0)
+        while True:
+            time.sleep(2)
+            elapsed = time.time() - _T0
+            if phase["name"] == "init" and elapsed > init_budget:
+                with lock:
+                    result["error"] = (f"backend init did not complete in "
+                                       f"{init_budget:.0f}s (tunnel wedged?)")
+                _log("init deadline reached — emitting error result")
+                emit_and_exit(0)
+            if elapsed > deadline_s:
+                _log("child deadline reached — emitting partial result")
+                emit_and_exit(0)
 
     threading.Thread(target=watchdog, daemon=True).start()
 
@@ -113,6 +133,7 @@ def _child_main(deadline_s: float) -> None:
 
         backend = jax.default_backend()
         _log(f"backend = {backend}, devices = {jax.devices()}")
+        phase["name"] = "measure"
 
         param_dtype = jnp.bfloat16 if backend in ("tpu", "axon") else jnp.float32
 
@@ -195,7 +216,8 @@ def main() -> None:
 
     result = {"metric": METRIC, "value": 0.0, "unit": "tiles/s",
               "vs_baseline": 0.0, "error": "benchmark did not run"}
-    for attempt in (1, 2):
+    cleared_cache = False
+    for attempt in (1, 2, 3):
         remain = deadline - time.time() - 20  # keep 20s to report
         if remain < 45:
             result.setdefault("error", "budget exhausted before measurement")
@@ -204,11 +226,20 @@ def main() -> None:
         parsed = _run_child(remain)
         if parsed is not None:
             result = parsed
-        if parsed and parsed.pop("retry_after_cache_clear", False) and attempt == 1:
+        if parsed and parsed.pop("retry_after_cache_clear", False) \
+                and not cleared_cache:
+            cleared_cache = True
             cache_dir = os.environ.get(
                 "RS_OV_COMPILE_CACHE", os.path.expanduser("~/.cache/rs_ov_xla"))
             _log(f"stale AOT compile cache ({cache_dir}) — clearing and retrying")
             shutil.rmtree(cache_dir, ignore_errors=True)
+            continue
+        if parsed is None or float(parsed.get("value", 0.0) or 0.0) <= 0.0:
+            # init hang / wedged tunnel / crash with no number: a fresh
+            # child sometimes wins once the backend recovers — retry while
+            # the budget allows (the child's own init deadline bounds the
+            # cost of each dead attempt)
+            _log("no measurement from this child — retrying in a fresh process")
             continue
         break
 

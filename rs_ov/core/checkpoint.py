@@ -86,9 +86,17 @@ def _np(x) -> np.ndarray:
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     """Read a torch checkpoint file into {name: np.ndarray} (fp32).
 
-    Handles raw state dicts, {'state_dict': ...} wrappers and TorchScript
-    archives (OpenAI JIT .pt files — reference openai.py:40-58).
+    Handles raw state dicts, {'state_dict': ...} wrappers, TorchScript
+    archives (OpenAI JIT .pt files — reference openai.py:40-58), and
+    .safetensors files (the format HF-hub CLIP weights ship in; reference
+    factory.py:145-150 prefers them when the safetensors package exists).
     """
+    if path.endswith(".safetensors"):
+        from rs_ov.utils.safetensors import load_safetensors
+
+        return {k: np.asarray(v, np.float32) if v.dtype.kind == "f"
+                or v.dtype.name == "bfloat16" else np.asarray(v)
+                for k, v in load_safetensors(path).items()}
     import torch
 
     try:
