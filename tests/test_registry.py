@@ -118,12 +118,17 @@ def test_layer_scale_and_clipa_forward():
     assert pooled.shape == (1, 768) and tokens.shape == (1, 4, 768)
 
 
-def test_timm_and_hf_guards():
+def test_timm_configs_construct_natively():
+    # timm-named towers construct natively since nn/timm_tower.py
+    # (deep-dive coverage in tests/test_timm_towers.py); the decontamination
+    # hooks remain CLIP-ViT-only and raise a clear error on these towers
+    import jax.numpy as jnp
+
     from rs_ov.factory import create_model
 
+    m = create_model("convnext_base")
+    assert m.cfg.vision.timm_model_name == "convnext_base"
     with pytest.raises(NotImplementedError):
-        create_model("convnext_base")
-    with pytest.raises(NotImplementedError):
-        create_model("EVA02-L-14")
-    # coca_roberta-ViT-B-32 now constructs natively (rs_ov/nn/hf_text.py) —
+        m.encode_image(jnp.zeros((1, 3, 224, 224)), model_type="SegEarth")
+    # coca_roberta-ViT-B-32 constructs natively (rs_ov/nn/hf_text.py) —
     # covered by tests/test_hf_text.py::test_coca_roberta_builds_and_encodes
