@@ -57,6 +57,8 @@ def clip_param_shardings(params: dict) -> dict:
         spec["text"] = tower(params["text"])
     if "logit_scale" in params:
         spec["logit_scale"] = P()
+    if "logit_bias" in params:
+        spec["logit_bias"] = P()
     return spec
 
 

@@ -22,7 +22,7 @@ from rs_ov.nn.layers import gelu, layer_norm, mlp, quick_gelu
 from rs_ov.nn.vit import _patchify
 from rs_ov.text.encoder import causal_mask
 from rs_ov.parallel.sharding import clip_param_shardings
-from rs_ov.train.losses import clip_loss
+from rs_ov.train.losses import clip_loss, siglip_loss
 
 __all__ = ["encode_image_train", "encode_text_train", "make_clip_train_step"]
 
@@ -77,10 +77,14 @@ def encode_text_train(params: dict, text_ids: jnp.ndarray, cfg: CLIPConfig,
 
 
 def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = True,
-                         compute_dtype=None):
+                         compute_dtype=None, loss: str = "clip"):
     """Build (train_step, init_opt_state). Inputs shard over 'data'; params
     shard per clip_param_shardings over 'model'. Returns a jitted step:
         params, opt_state, images, texts -> (params, opt_state, loss)
+
+    loss='siglip' uses the pairwise sigmoid loss in global form (the params
+    tree must carry a 'logit_bias'; reference loss.py:307-414 — GSPMD
+    partitions the global [B, B] logits the reference's ring exchanged).
 
     compute_dtype=jnp.bfloat16 runs the TPU mixed-precision recipe: fp32
     master params and optimizer state, bf16 forward/backward on the MXU
@@ -100,6 +104,9 @@ def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = Tr
         txt_f = encode_text_train(cparams, texts, cfg, remat=remat)
         # scale from the MASTER tree: exp in fp32
         scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+        if loss == "siglip":
+            return siglip_loss(img_f, txt_f, scale,
+                               params["logit_bias"].astype(jnp.float32))
         return clip_loss(img_f, txt_f, scale)
 
     def train_step(params, opt_state, images, texts):

@@ -1,0 +1,61 @@
+"""train.py CLI: sharded fine-tuning driver (the reference has none)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import train as train_cli  # noqa: E402
+
+
+def test_synthetic_dp_tp_smoke(tmp_path):
+    train_cli.main(["--model", "ViT-B-32", "--tiny", "--synthetic",
+                    "--steps", "3", "--batch-size", "8", "--mesh", "4,2",
+                    "--log-every", "1", "--precision", "fp32",
+                    "--ckpt-dir", str(tmp_path / "ck")])
+    assert os.path.exists(tmp_path / "ck" / "step_3.npz")
+
+
+def test_resume_continues_from_checkpoint(tmp_path, capsys):
+    ck = str(tmp_path / "ck")
+    train_cli.main(["--model", "ViT-B-32", "--tiny", "--synthetic",
+                    "--steps", "2", "--batch-size", "4", "--ckpt-dir", ck, "--mesh", "2,1",
+                    "--precision", "fp32", "--log-every", "1"])
+    train_cli.main(["--model", "ViT-B-32", "--tiny", "--synthetic",
+                    "--steps", "4", "--batch-size", "4", "--ckpt-dir", ck, "--mesh", "2,1",
+                    "--precision", "fp32", "--log-every", "1"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "step_2.npz" in out
+    assert os.path.exists(os.path.join(ck, "step_4.npz"))
+
+
+def test_sidecar_data_dir(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(40, 50, 3) * 255).astype("uint8")).save(
+            tmp_path / f"im{i}.png")
+        (tmp_path / f"im{i}.txt").write_text(f"an aerial image number {i}")
+    params = train_cli.main(["--model", "ViT-B-32", "--tiny", "--data",
+                             str(tmp_path), "--steps", "2", "--batch-size", "2", "--mesh", "1,1",
+                             "--precision", "fp32", "--log-every", "1"])
+    assert "visual" in params
+
+
+def test_manifest_formats(tmp_path):
+    (tmp_path / "m.tsv").write_text("a.png\tcap one\nb.png\tcap two\n")
+    pairs = train_cli._read_manifest(str(tmp_path / "m.tsv"))
+    assert pairs == [("a.png", "cap one"), ("b.png", "cap two")]
+    (tmp_path / "m.jsonl").write_text(
+        json.dumps({"image": "x.png", "caption": "c"}) + "\n")
+    assert train_cli._read_manifest(str(tmp_path / "m.jsonl")) == [("x.png", "c")]
+
+
+def test_requires_data_or_synthetic():
+    with pytest.raises(SystemExit):
+        train_cli.main(["--steps", "1"])
