@@ -27,7 +27,7 @@ __all__ = [
     "text_params_from_state_dict",
     "jbu_params_from_state_dict",
     "infer_clip_config_from_state_dict",
-    "vision_params_from_big_vision_npz",
+    "vision_params_from_big_vision_npz", "siglip_params_from_big_vision_npz",
     "vision_params_from_timm_state_dict",
     "detect_timm_vision_prefix",
 ]
@@ -623,6 +623,134 @@ def vision_params_from_big_vision_npz(path: str, dtype=jnp.float32) -> dict:
                     "bias": jnp.asarray(find("Transformer/encoder_norm/bias"), dtype)},
         "proj": proj,
     }
+
+
+def _bv_find(w, path: str, *names):
+    for n in names:
+        for prefix in ("params/", ""):
+            if prefix + n in w:
+                return w[prefix + n]
+    raise KeyError(f"none of {names} in {path}")
+
+
+def _bv_blocks(w, path, base, width, dtype):
+    """big_vision encoderblock_i stack -> rs_ov block list (fused-qkv).
+    The stack lives under Transformer/ (vision) or Encoder_0/ (text)."""
+    stack = f"{base}/Transformer"
+    try:
+        _bv_find(w, path, stack + "/encoderblock_0/LayerNorm_0/scale")
+    except KeyError:
+        stack = f"{base}/Encoder_0"
+    blocks = []
+    i = 0
+    while True:
+        pre = f"{stack}/encoderblock_{i}/"
+        try:
+            ln1s = _bv_find(w, path, pre + "LayerNorm_0/scale")
+        except KeyError:
+            break
+        attn_pre = pre + "MultiHeadDotProductAttention_1/"
+        try:
+            _bv_find(w, path, attn_pre + "query/kernel")
+        except KeyError:
+            attn_pre = pre + "MultiHeadDotProductAttention_0/"
+        q = _bv_find(w, path, attn_pre + "query/kernel").reshape(width, -1)
+        k = _bv_find(w, path, attn_pre + "key/kernel").reshape(width, -1)
+        v = _bv_find(w, path, attn_pre + "value/kernel").reshape(width, -1)
+        blocks.append({
+            "ln_1": {"scale": jnp.asarray(ln1s, dtype),
+                     "bias": jnp.asarray(_bv_find(w, path, pre + "LayerNorm_0/bias"), dtype)},
+            "attn": {
+                "in_proj_w": jnp.asarray(np.concatenate([q.T, k.T, v.T], 0), dtype),
+                "in_proj_b": jnp.asarray(np.concatenate(
+                    [_bv_find(w, path, attn_pre + n + "/bias").reshape(-1)
+                     for n in ("query", "key", "value")]), dtype),
+                "out_proj_w": jnp.asarray(
+                    _bv_find(w, path, attn_pre + "out/kernel").reshape(-1, width).T, dtype),
+                "out_proj_b": jnp.asarray(_bv_find(w, path, attn_pre + "out/bias"), dtype),
+            },
+            "ln_2": {"scale": jnp.asarray(_bv_find(w, path, pre + "LayerNorm_1/scale",
+                                                   pre + "LayerNorm_2/scale"), dtype),
+                     "bias": jnp.asarray(_bv_find(w, path, pre + "LayerNorm_1/bias",
+                                                  pre + "LayerNorm_2/bias"), dtype)},
+            "mlp": {
+                "c_fc_w": jnp.asarray(_bv_find(w, path, pre + "MlpBlock_3/Dense_0/kernel").T, dtype),
+                "c_fc_b": jnp.asarray(_bv_find(w, path, pre + "MlpBlock_3/Dense_0/bias"), dtype),
+                "c_proj_w": jnp.asarray(_bv_find(w, path, pre + "MlpBlock_3/Dense_1/kernel").T, dtype),
+                "c_proj_b": jnp.asarray(_bv_find(w, path, pre + "MlpBlock_3/Dense_1/bias"), dtype),
+            },
+        })
+        i += 1
+    return blocks
+
+
+def siglip_params_from_big_vision_npz(path: str, dtype=jnp.float32) -> dict:
+    """Map a big_vision SigLIP .npz onto the NATIVE towers: the CLS-less
+    MAP-head vision trunk (nn/timm_tower.py siglip family) and the 'last'-
+    pooled text tower — no fake-CLS approximation (cf.
+    vision_params_from_big_vision_npz, which targets the classic ViT tree).
+
+    Returns {'visual': {'trunk': ...}, 'text': ..., 'logit_scale',
+    'logit_bias'} matching a ViT-*-SigLIP registry config."""
+    w = np.load(path)
+
+    emb_k = _bv_find(w, path, "img/embedding/kernel")
+    width = emb_k.shape[-1]
+    pos = _bv_find(w, path, "img/Transformer/posembed_input/pos_embedding")[0]
+    map_pre = "img/MAPHead_0/"
+    mha = map_pre + "MultiHeadDotProductAttention_0/"
+    q_k = _bv_find(w, path, mha + "query/kernel").reshape(width, -1)
+    k_k = _bv_find(w, path, mha + "key/kernel").reshape(width, -1)
+    v_k = _bv_find(w, path, mha + "value/kernel").reshape(width, -1)
+    trunk = {
+        "patch_embed_w": jnp.asarray(emb_k.transpose(3, 2, 0, 1), dtype),
+        "patch_embed_b": jnp.asarray(_bv_find(w, path, "img/embedding/bias"), dtype),
+        "pos_embed": jnp.asarray(pos, dtype),
+        "blocks": _bv_blocks(w, path, "img", width, dtype),
+        "norm": {"scale": jnp.asarray(_bv_find(w, path, "img/Transformer/encoder_norm/scale"), dtype),
+                 "bias": jnp.asarray(_bv_find(w, path, "img/Transformer/encoder_norm/bias"), dtype)},
+        "attn_pool": {
+            "latent": jnp.asarray(_bv_find(w, path, map_pre + "probe")[0], dtype),
+            "q_w": jnp.asarray(q_k.T, dtype),
+            "q_b": jnp.asarray(_bv_find(w, path, mha + "query/bias").reshape(-1), dtype),
+            "kv_w": jnp.asarray(np.concatenate([k_k.T, v_k.T], 0), dtype),
+            "kv_b": jnp.asarray(np.concatenate(
+                [_bv_find(w, path, mha + "key/bias").reshape(-1),
+                 _bv_find(w, path, mha + "value/bias").reshape(-1)]), dtype),
+            "proj_w": jnp.asarray(
+                _bv_find(w, path, mha + "out/kernel").reshape(-1, width).T, dtype),
+            "proj_b": jnp.asarray(_bv_find(w, path, mha + "out/bias"), dtype),
+            "norm": {"scale": jnp.asarray(_bv_find(w, path, map_pre + "LayerNorm_0/scale"), dtype),
+                     "bias": jnp.asarray(_bv_find(w, path, map_pre + "LayerNorm_0/bias"), dtype)},
+            "mlp": {
+                "c_fc_w": jnp.asarray(_bv_find(w, path, map_pre + "MlpBlock_0/Dense_0/kernel").T, dtype),
+                "c_fc_b": jnp.asarray(_bv_find(w, path, map_pre + "MlpBlock_0/Dense_0/bias"), dtype),
+                "c_proj_w": jnp.asarray(_bv_find(w, path, map_pre + "MlpBlock_0/Dense_1/kernel").T, dtype),
+                "c_proj_b": jnp.asarray(_bv_find(w, path, map_pre + "MlpBlock_0/Dense_1/bias"), dtype),
+            },
+        },
+    }
+
+    t_width = _bv_find(w, path, "txt/Embed_0/embedding").shape[-1]
+    text = {
+        "token_embedding": jnp.asarray(_bv_find(w, path, "txt/Embed_0/embedding"), dtype),
+        "positional_embedding": jnp.asarray(
+            _bv_find(w, path, "txt/pos_embedding")[0], dtype),
+        "blocks": _bv_blocks(w, path, "txt", t_width, dtype),
+        "ln_final": {"scale": jnp.asarray(_bv_find(w, path, "txt/Encoder_0/encoder_norm/scale",
+                                                   "txt/Transformer/encoder_norm/scale"), dtype),
+                     "bias": jnp.asarray(_bv_find(w, path, "txt/Encoder_0/encoder_norm/bias",
+                                                  "txt/Transformer/encoder_norm/bias"), dtype)},
+        "text_projection": jnp.asarray(_bv_find(w, path, "txt/head/kernel"), dtype),
+        "text_projection_b": jnp.asarray(_bv_find(w, path, "txt/head/bias"), dtype),
+    }
+    params = {"visual": {"trunk": trunk}, "text": text}
+    try:
+        params["logit_scale"] = jnp.asarray(_bv_find(w, path, "t"), dtype)
+        params["logit_bias"] = jnp.asarray(_bv_find(w, path, "b"), dtype)
+    except KeyError:
+        pass
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,22 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
     dtype = _PRECISIONS.get(precision, jnp.float32)
     if model_name.startswith("coca"):
         return _create_coca(model_name, pretrained, dtype, seed)
+    if pretrained and os.path.exists(pretrained) and pretrained.endswith(".npz"):
+        try:
+            cfg = get_model_config(model_name)
+        except KeyError:
+            cfg = None
+        if cfg is not None and cfg.vision.timm_model_name \
+                and "siglip" in cfg.vision.timm_model_name:
+            # big_vision SigLIP npz -> the native MAP-head towers
+            from rs_ov.core.checkpoint import siglip_params_from_big_vision_npz
+            params = cast_floating(siglip_params_from_big_vision_npz(pretrained),
+                                   dtype)
+            params.setdefault("logit_scale", jnp.asarray(np.log(10.0), dtype))
+            if cfg.init_logit_bias is not None:
+                params.setdefault("logit_bias",
+                                  jnp.asarray(cfg.init_logit_bias, dtype))
+            return CLIPModel(cfg=cfg, params=params)
     if pretrained and os.path.exists(pretrained):
         sd = load_torch_state_dict(pretrained)
         quick_gelu = force_quick_gelu or "/" in model_name \
