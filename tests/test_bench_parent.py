@@ -1,0 +1,65 @@
+"""bench.py parent orchestration: budget, retries, guaranteed JSON line.
+
+The driver gate parses bench.py's single stdout JSON line; these tests pin
+the parent's hostile-environment behavior (round-1 postmortem: rc=124 with
+no output) without touching a TPU: the measurement child is stubbed.
+"""
+
+import json
+
+import bench
+
+
+def _run_main(monkeypatch, capsys, child_results, budget="420"):
+    calls = []
+
+    def fake_run_child(deadline_s):
+        calls.append(deadline_s)
+        r = child_results[min(len(calls) - 1, len(child_results) - 1)]
+        return dict(r) if r is not None else None
+
+    monkeypatch.setattr(bench, "_run_child", fake_run_child)
+    monkeypatch.setenv("RS_OV_BENCH_BUDGET", budget)
+    monkeypatch.setattr(bench, "_T0", __import__("time").time())
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out), calls
+
+
+def _ok(value):
+    return {"metric": bench.METRIC, "value": value, "unit": "tiles/s",
+            "vs_baseline": 0.0}
+
+
+def test_success_first_try(monkeypatch, capsys):
+    parsed, calls = _run_main(monkeypatch, capsys, [_ok(16.5)])
+    assert parsed["value"] == 16.5 and len(calls) == 1
+
+
+def test_retries_on_zero_value_then_succeeds(monkeypatch, capsys):
+    hung = {"metric": bench.METRIC, "value": 0.0, "unit": "tiles/s",
+            "vs_baseline": 0.0, "error": "backend init did not complete"}
+    parsed, calls = _run_main(monkeypatch, capsys, [hung, _ok(12.0)])
+    assert parsed["value"] == 12.0 and len(calls) == 2
+
+
+def test_always_emits_json_when_all_children_fail(monkeypatch, capsys):
+    parsed, calls = _run_main(monkeypatch, capsys, [None, None, None])
+    assert parsed["metric"] == bench.METRIC
+    assert parsed["value"] == 0.0 and "error" in parsed
+    assert len(calls) == 3  # bounded retries
+
+
+def test_cache_clear_retry_does_not_lose_budget_retries(monkeypatch, capsys, tmp_path):
+    monkeypatch.setenv("RS_OV_COMPILE_CACHE", str(tmp_path / "cache"))
+    stale = {"metric": bench.METRIC, "value": 0.0, "unit": "tiles/s",
+             "vs_baseline": 0.0, "error": "libtpu version mismatch",
+             "retry_after_cache_clear": True}
+    parsed, calls = _run_main(monkeypatch, capsys, [stale, _ok(9.0)])
+    assert parsed["value"] == 9.0 and len(calls) == 2
+
+
+def test_budget_exhausted_still_prints_json(monkeypatch, capsys):
+    parsed, calls = _run_main(monkeypatch, capsys, [_ok(1.0)], budget="10")
+    assert parsed["metric"] == bench.METRIC
+    assert calls == []  # no child launched under a 10s budget
