@@ -9,11 +9,14 @@ unchanged.
 
 from rs_ov.factory import (  # noqa: F401
     CLIPModel,
+    create_loss,
     create_model,
     create_model_and_transforms,
+    create_model_from_pretrained,
     get_tokenizer,
     image_transform,
 )
+from rs_ov.hub import generate_readme, push_to_hf_hub  # noqa: F401
 from rs_ov.core.config import get_model_config, list_models  # noqa: F401
 from rs_ov.pretrained import (  # noqa: F401
     get_pretrained_cfg,

@@ -28,7 +28,8 @@ from rs_ov.nn.vit import VitCallConfig, vit_forward
 from rs_ov.text.encoder import text_forward
 from rs_ov.text.tokenizer import SimpleTokenizer
 
-__all__ = ["CLIPModel", "CoCaModel", "create_model", "create_model_and_transforms",
+__all__ = ["CLIPModel", "CoCaModel", "create_loss", "create_model",
+           "create_model_and_transforms", "create_model_from_pretrained",
            "get_tokenizer", "image_transform"]
 
 _PRECISIONS = {"fp32": jnp.float32, "fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
@@ -248,6 +249,34 @@ def create_model_and_transforms(model_name: str, pretrained: Optional[str] = Non
     model = create_model(model_name, pretrained, precision, **kwargs)
     preprocess = image_transform(model.cfg.vision.image_size)
     return model, preprocess, preprocess
+
+
+def create_model_from_pretrained(model_name: str, pretrained=None,
+                                 precision: str = "fp32",
+                                 return_transform: bool = True, **kwargs):
+    """(model, preprocess) from a pretrained checkpoint (reference
+    factory.py:417-460). `pretrained` must be a local path (zero-egress)."""
+    model = create_model(model_name, pretrained, precision, **kwargs)
+    if not return_transform:
+        return model
+    return model, image_transform(model.cfg.vision.image_size)
+
+
+def create_loss(args):
+    """Loss selector with the reference's dispatch rules (factory.py:323-357):
+    args.distill -> distill loss, 'coca' in args.model -> CoCa loss,
+    args.siglip -> SigLIP, else CLIP contrastive. Returns the functional
+    losses from rs_ov.train.losses (collectives via named mesh axes instead
+    of rank/world_size plumbing)."""
+    from rs_ov.train import losses
+
+    if getattr(args, "distill", False):
+        return losses.distill_clip_loss
+    if "coca" in getattr(args, "model", "").lower():
+        return losses.coca_loss
+    if getattr(args, "siglip", False):
+        return losses.siglip_loss
+    return losses.clip_loss
 
 
 def get_tokenizer(model_name: str = "", context_length: int | None = None,

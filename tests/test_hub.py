@@ -107,3 +107,22 @@ def test_safetensors_matches_official_lib(tmp_path):
     st.save_file(t, theirs)
     r2 = load_safetensors(theirs)
     assert all(np.array_equal(r2[k], t[k]) for k in t)
+
+
+def test_open_clip_facade_factory_surface():
+    """reference factory.py public entry points exist on the facade."""
+    import types
+
+    import open_clip
+    from rs_ov.train import losses
+
+    for name in ("create_model", "create_model_and_transforms",
+                 "create_model_from_pretrained", "create_loss",
+                 "get_tokenizer", "push_to_hf_hub", "generate_readme",
+                 "list_models", "list_pretrained"):
+        assert hasattr(open_clip, name), name
+    a = types.SimpleNamespace(distill=False, model="coca_ViT-B-32", siglip=False)
+    assert open_clip.create_loss(a) is losses.coca_loss
+    m = open_clip.create_model_from_pretrained(
+        "ViT-B-32", pretrained=None, return_transform=False)
+    assert m.cfg.embed_dim == 512
