@@ -18,13 +18,11 @@ import subprocess
 import sys
 import time
 
-SLOW_MODULES = [
-    "test_blip.py", "test_coca.py", "test_e2e_gem_blip.py",
-    "test_e2e_pipeline.py", "test_factory.py", "test_kernels.py",
-    "test_parallel.py", "test_parity_fullsize.py", "test_parity_gem.py",
-    "test_parity_jbu.py", "test_parity_vit.py", "test_resnet_losses.py",
-    "test_upsampler_alternates.py",
-]
+# single source of truth: the conftest slow-module set
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+from conftest import SLOW_TEST_MODULES  # noqa: E402
+
+SLOW_MODULES = sorted(SLOW_TEST_MODULES)
 
 
 def main() -> int:
