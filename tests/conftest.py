@@ -35,6 +35,7 @@ import pytest  # noqa: E402
 SLOW_TEST_MODULES = {
     "test_blip.py", "test_coca.py", "test_hf_text.py", "test_e2e_gem_blip.py",
     "test_e2e_pipeline.py", "test_factory.py", "test_kernels.py",
+    "test_kernels_epilogue.py",
     "test_parallel.py", "test_parity_fullsize.py", "test_parity_gem.py",
     "test_timm_towers.py", "test_train_cli.py",
     "test_parity_jbu.py", "test_parity_vit.py", "test_resnet_losses.py",
