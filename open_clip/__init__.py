@@ -36,3 +36,6 @@ from rs_ov.text.tokenizer import SimpleTokenizer, tokenize  # noqa: F401
 
 OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+# version of the open_clip surface this facade tracks (reference version.py)
+__version__ = "2.24.0"
