@@ -147,10 +147,21 @@ def _create_coca(model_name: str, pretrained, dtype, seed: int):
 def create_model(model_name: str, pretrained: Optional[str] = None,
                  precision: str = "fp32", device=None, jit: bool = False,
                  force_quick_gelu: bool = False, seed: int = 0,
+                 force_image_size: Optional[int] = None,
                  **_ignored):
     """(reference factory.py:165-320). ``pretrained``: local path or tag.
-    coca_* model names build a CoCaModel (reference coca_model.py)."""
+    coca_* model names build a CoCaModel (reference coca_model.py).
+    ``force_image_size`` overrides the arch's input resolution (the ViT
+    pos-embed is interpolated at runtime for any grid, nn/vit.py)."""
     del device, jit
+
+    def _sized(c):
+        if force_image_size and c.vision.image_size != force_image_size:
+            return dataclasses.replace(
+                c, vision=dataclasses.replace(c.vision,
+                                              image_size=force_image_size))
+        return c
+
     dtype = _PRECISIONS.get(precision, jnp.float32)
     if model_name.startswith("coca"):
         return _create_coca(model_name, pretrained, dtype, seed)
@@ -169,7 +180,7 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
             if cfg.init_logit_bias is not None:
                 params.setdefault("logit_bias",
                                   jnp.asarray(cfg.init_logit_bias, dtype))
-            return CLIPModel(cfg=cfg, params=params)
+            return CLIPModel(cfg=_sized(cfg), params=params)
     if pretrained and os.path.exists(pretrained):
         sd = load_torch_state_dict(pretrained)
         quick_gelu = force_quick_gelu or "/" in model_name \
@@ -181,7 +192,7 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
         params = cast_floating(clip_params_from_state_dict(
             sd, timm_model_name=getattr(cfg.vision, "timm_model_name", None)),
             dtype)
-        return CLIPModel(cfg=cfg, params=params)
+        return CLIPModel(cfg=_sized(cfg), params=params)
     if pretrained:
         from rs_ov.pretrained import get_pretrained_url
 
@@ -210,9 +221,9 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
         }
         if cfg.init_logit_bias is not None:
             params["logit_bias"] = jnp.asarray(cfg.init_logit_bias, dtype)
-        return CLIPModel(cfg=cfg, params=params)
+        return CLIPModel(cfg=_sized(cfg), params=params)
     params = init_clip_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
-    return CLIPModel(cfg=cfg, params=params)
+    return CLIPModel(cfg=_sized(cfg), params=params)
 
 
 def image_transform(image_size: int = 224, is_train: bool = False,

@@ -132,3 +132,16 @@ def test_timm_configs_construct_natively():
         m.encode_image(jnp.zeros((1, 3, 224, 224)), model_type="SegEarth")
     # coca_roberta-ViT-B-32 constructs natively (rs_ov/nn/hf_text.py) —
     # covered by tests/test_hf_text.py::test_coca_roberta_builds_and_encodes
+
+
+def test_force_image_size():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rs_ov.factory import create_model
+
+    m = create_model("ViT-B-32", force_image_size=64)
+    assert m.cfg.vision.image_size == 64
+    out = m.encode_image(jnp.asarray(
+        np.random.RandomState(0).randn(1, 3, 64, 64), jnp.float32))
+    assert out.shape == (1, 4, 512)  # 2x2 patch grid tokens
