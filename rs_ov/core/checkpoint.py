@@ -122,7 +122,7 @@ def _ln(sd, prefix, dtype):
 
 
 def _block(sd, prefix, dtype):
-    return {
+    blk = {
         "ln_1": _ln(sd, f"{prefix}.ln_1", dtype),
         "attn": {
             "in_proj_w": jnp.asarray(sd[f"{prefix}.attn.in_proj_weight"], dtype),
@@ -138,6 +138,11 @@ def _block(sd, prefix, dtype):
             "c_proj_b": jnp.asarray(sd[f"{prefix}.mlp.c_proj.bias"], dtype),
         },
     }
+    # open_clip LayerScale blocks (ls_init_value archs, e.g. ViT-M-16-alt)
+    for ls in ("ls_1", "ls_2"):
+        if f"{prefix}.{ls}.gamma" in sd:
+            blk[ls] = jnp.asarray(sd[f"{prefix}.{ls}.gamma"], dtype)
+    return blk
 
 
 def _count_blocks(sd, prefix):

@@ -201,7 +201,7 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
             f"No implicit downloads in this environment. Fetch the weights for "
             f"({model_name}, {pretrained}) from {url or 'its distributor'} and "
             f"pass the local path as `pretrained`.")
-    cfg = get_model_config(model_name)
+    cfg = _sized(get_model_config(model_name))  # init at the forced size
     if force_quick_gelu and not cfg.quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
     if cfg.vision.timm_model_name:
@@ -221,44 +221,81 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
         }
         if cfg.init_logit_bias is not None:
             params["logit_bias"] = jnp.asarray(cfg.init_logit_bias, dtype)
-        return CLIPModel(cfg=_sized(cfg), params=params)
+        return CLIPModel(cfg=cfg, params=params)
     params = init_clip_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
-    return CLIPModel(cfg=_sized(cfg), params=params)
+    return CLIPModel(cfg=cfg, params=params)
+
+
+def preprocess_style(model_name: str, pretrained_tag: str | None = None):
+    """(mean, std, interpolation, resize_mode) for a model/tag — the
+    reference attaches these per pretrained entry (pretrained.py _pcfg
+    styles); named-config fallback goes by family (SigLIP/CLIPA towers use
+    inception/imagenet normalisation and 'squash' resize, not OpenAI's)."""
+    if pretrained_tag:
+        from rs_ov.pretrained import get_pretrained_cfg
+
+        cfg = get_pretrained_cfg(model_name, pretrained_tag)
+        if cfg:
+            return (cfg["mean"], cfg["std"], cfg["interpolation"],
+                    cfg["resize_mode"])
+    n = model_name.lower()
+    if "siglip" in n:
+        return ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5), "bicubic", "squash")
+    if "clipa" in n:
+        return ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+                "bilinear", "squash")
+    return ((0.48145466, 0.4578275, 0.40821073),
+            (0.26862954, 0.26130258, 0.27577711), "bicubic", "shortest")
 
 
 def image_transform(image_size: int = 224, is_train: bool = False,
-                    mean=None, std=None):
+                    mean=None, std=None, interpolation: str = "bicubic",
+                    resize_mode: str = "shortest"):
     """Inference preprocessing closure (reference transform.py:274-389:
-    bicubic shortest-side resize -> center crop -> normalize). Returns a
-    numpy HWC-uint8 -> CHW-float32 callable."""
+    resize -> center crop -> normalize). resize_mode 'shortest' scales the
+    short side then center-crops; 'squash' resizes straight to (S, S).
+    Returns a numpy HWC-uint8 -> CHW-float32 callable."""
     import numpy as np
 
-    from rs_ov.utils.resize import resize_bicubic
+    from rs_ov.utils.resize import resize_bicubic, resize_bilinear
 
     assert not is_train, "training augmentation is out of scope for eval"
     mean = np.asarray(mean if mean is not None else
                       (0.48145466, 0.4578275, 0.40821073), np.float32)
     std = np.asarray(std if std is not None else
                      (0.26862954, 0.26130258, 0.27577711), np.float32)
+    resize = resize_bilinear if interpolation == "bilinear" else resize_bicubic
 
     def transform(img_hwc):
         x = np.asarray(img_hwc).astype(np.float32) / 255.0
         h, w = x.shape[:2]
-        scale = image_size / min(h, w)
-        nh, nw = round(h * scale), round(w * scale)
-        x = np.asarray(resize_bicubic(jnp.asarray(x.transpose(2, 0, 1)), (nh, nw)))
-        top, left = (nh - image_size) // 2, (nw - image_size) // 2
-        x = x[:, top:top + image_size, left:left + image_size]
+        if resize_mode == "squash":
+            x = np.asarray(resize(jnp.asarray(x.transpose(2, 0, 1)),
+                                  (image_size, image_size)))
+        else:
+            scale = image_size / min(h, w)
+            nh, nw = round(h * scale), round(w * scale)
+            x = np.asarray(resize(jnp.asarray(x.transpose(2, 0, 1)), (nh, nw)))
+            top, left = (nh - image_size) // 2, (nw - image_size) // 2
+            x = x[:, top:top + image_size, left:left + image_size]
         return (x - mean[:, None, None]) / std[:, None, None]
 
     return transform
+
+
+def _model_transform(model, model_name: str, pretrained) -> "object":
+    tag = pretrained if pretrained and not os.path.exists(str(pretrained)) \
+        else None
+    mean, std, interp, mode = preprocess_style(model_name, tag)
+    return image_transform(model.cfg.vision.image_size, mean=mean, std=std,
+                           interpolation=interp, resize_mode=mode)
 
 
 def create_model_and_transforms(model_name: str, pretrained: Optional[str] = None,
                                 precision: str = "fp32", **kwargs):
     """(model, preprocess_train, preprocess_val) — reference factory.py:360."""
     model = create_model(model_name, pretrained, precision, **kwargs)
-    preprocess = image_transform(model.cfg.vision.image_size)
+    preprocess = _model_transform(model, model_name, pretrained)
     return model, preprocess, preprocess
 
 
@@ -270,7 +307,7 @@ def create_model_from_pretrained(model_name: str, pretrained=None,
     model = create_model(model_name, pretrained, precision, **kwargs)
     if not return_transform:
         return model
-    return model, image_transform(model.cfg.vision.image_size)
+    return model, _model_transform(model, model_name, pretrained)
 
 
 def create_loss(args):

@@ -27,11 +27,6 @@ __all__ = ["clip_state_dict", "save_for_hub", "push_to_hf_hub",
 HF_SAFE_WEIGHTS_NAME = "open_clip_model.safetensors"
 HF_CONFIG_NAME = "open_clip_config.json"
 
-# OpenAI CLIP normalisation — the preprocess_cfg the reference attaches
-_MEAN = (0.48145466, 0.4578275, 0.40821073)
-_STD = (0.26862954, 0.26130258, 0.27577711)
-
-
 def _np32(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
@@ -49,6 +44,9 @@ def _export_block(blk: dict, pre: str, sd: dict) -> None:
     sd[pre + "mlp.c_fc.bias"] = _np32(blk["mlp"]["c_fc_b"])
     sd[pre + "mlp.c_proj.weight"] = _np32(blk["mlp"]["c_proj_w"])
     sd[pre + "mlp.c_proj.bias"] = _np32(blk["mlp"]["c_proj_b"])
+    for ls in ("ls_1", "ls_2"):  # LayerScale archs (open_clip ls_*.gamma)
+        if ls in blk:
+            sd[pre + f"{ls}.gamma"] = _np32(blk[ls])
 
 
 def clip_state_dict(params: dict) -> dict[str, np.ndarray]:
@@ -127,12 +125,15 @@ def save_for_hub(model, model_name: str, save_directory: str,
     sd = clip_state_dict(model.params)
     save_safetensors(sd, os.path.join(save_directory, HF_SAFE_WEIGHTS_NAME),
                      metadata={"format": "pt"})
+    from rs_ov.factory import preprocess_style
+
+    mean, std, interp, mode = preprocess_style(model_name)
     hf_config = {
         "model_cfg": _model_cfg_dict(model.cfg),
-        "preprocess_cfg": {"mean": list(_MEAN), "std": list(_STD),
+        "preprocess_cfg": {"mean": list(mean), "std": list(std),
                            "size": model.cfg.vision.image_size,
-                           "interpolation": "bicubic",
-                           "resize_mode": "shortest"},
+                           "interpolation": interp,
+                           "resize_mode": mode},
     }
     with open(os.path.join(save_directory, HF_CONFIG_NAME), "w") as f:
         json.dump(hf_config, f, indent=2)

@@ -232,6 +232,20 @@ def init_convnext_params(key, arch: ConvNeXtArch, dtype=jnp.float32) -> dict:
 # SigLIP ViT (CLS-less + MAP attention-pool head)
 # ---------------------------------------------------------------------------
 
+def _interp_pos_embed(pos: jnp.ndarray, n_tokens: int, grid_hw) -> jnp.ndarray:
+    """Bicubic-resample a [N0, C] grid pos-embed table to a new grid when the
+    input resolution differs from the table's (timm resample_abs_pos_embed
+    semantics; force_image_size / odd-resolution checkpoints)."""
+    n0 = pos.shape[0]
+    if n0 == n_tokens:
+        return pos
+    g0 = int(round(n0 ** 0.5))
+    grid = pos.reshape(g0, g0, -1).astype(jnp.float32)
+    grid = jax.image.resize(grid, (grid_hw[0], grid_hw[1], pos.shape[-1]),
+                            method="bicubic")
+    return grid.reshape(n_tokens, -1).astype(pos.dtype)
+
+
 def _siglip_block(blk, x, heads, eps):
     y, _ = standard_attention(blk["attn"], layer_norm(x, blk["ln_1"], eps), heads)
     x = x + y
@@ -275,7 +289,8 @@ def siglip_vit_forward(p: dict, images: jnp.ndarray, arch: SigLipVitArch,
     x = (jnp.einsum("bnf,fw->bnw", x, kernel,
                     preferred_element_type=jnp.float32)
          + p["patch_embed_b"].astype(jnp.float32)).astype(images.dtype)
-    x = x + p["pos_embed"].astype(x.dtype)
+    x = x + _interp_pos_embed(p["pos_embed"], x.shape[1],
+                              (h // ph, w // ph)).astype(x.dtype)
     for blk in p["blocks"]:
         x = _siglip_block(blk, x, arch.heads, eps)
     x = layer_norm(x, p["norm"], eps)
@@ -423,7 +438,10 @@ def eva_forward(p: dict, images: jnp.ndarray, arch: EvaArch, embed_dim: int,
     cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype)[None, None],
                            (b, 1, arch.width))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + p["pos_embed"].astype(x.dtype)
+    pos = p["pos_embed"]
+    pos = jnp.concatenate(
+        [pos[:1], _interp_pos_embed(pos[1:], x.shape[1] - 1, grid_hw)], axis=0)
+    x = x + pos.astype(x.dtype)
     for blk in p["blocks"]:
         if arch.post_norm:
             x = x + layer_norm(_eva_attention(blk, x, arch, grid_hw, eps),

@@ -31,17 +31,18 @@ def text_forward(p: dict, text_ids: jnp.ndarray, cfg: TextConfig,
                  quick_gelu_act: bool = False, normalize: bool = False) -> jnp.ndarray:
     """text_ids: int [B, ctx] (0-padded). Returns [B, output_dim] embeddings."""
     act = quick_gelu if quick_gelu_act else gelu
+    eps = cfg.norm_eps if cfg.norm_eps is not None else 1e-5  # SigLIP 1e-6
     x = p["token_embedding"][text_ids]  # [B, ctx, width]
     x = x + p["positional_embedding"].astype(x.dtype)[None]
     mask = None if cfg.no_causal_mask else causal_mask(cfg.context_length)
 
     for blk in p["blocks"]:
         attn_out, _ = standard_attention(
-            blk["attn"], layer_norm(x, blk["ln_1"]), cfg.heads, mask=mask)
+            blk["attn"], layer_norm(x, blk["ln_1"], eps), cfg.heads, mask=mask)
         x = x + attn_out
-        x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"], act=act)
+        x = x + mlp(layer_norm(x, blk["ln_2"], eps), blk["mlp"], act=act)
 
-    x = layer_norm(x, p["ln_final"])
+    x = layer_norm(x, p["ln_final"], eps)
 
     if cfg.pool_type == "argmax":
         # EOT token has the highest id in each row (reference transformer.py:947-950)

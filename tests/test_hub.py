@@ -126,3 +126,44 @@ def test_open_clip_facade_factory_surface():
     m = open_clip.create_model_from_pretrained(
         "ViT-B-32", pretrained=None, return_transform=False)
     assert m.cfg.embed_dim == 512
+
+
+def test_layer_scale_roundtrip(tmp_path):
+    """ls_1/ls_2 gammas survive hub export -> classic loader."""
+    import dataclasses
+
+    from rs_ov.core.checkpoint import clip_params_from_state_dict
+    from rs_ov.core.config import get_model_config
+    from rs_ov.core.params import init_clip_params
+    from rs_ov.utils.safetensors import load_safetensors
+
+    cfg = get_model_config("ViT-M-16-alt")
+    tiny = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, width=64, layers=2,
+                                   image_size=32, head_width=32),
+        text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2,
+                                 context_length=8, vocab_size=64))
+    params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    assert "ls_1" in params["visual"]["blocks"][0]
+    # randomize gammas away from init so a drop would change outputs
+    for blk in params["visual"]["blocks"]:
+        blk["ls_1"] = blk["ls_1"] + 0.3
+        blk["ls_2"] = blk["ls_2"] + 0.1
+    m = CLIPModel(cfg=tiny, params=params)
+    out = hub.save_for_hub(m, "ls-test", str(tmp_path / "a"))
+    sd = load_safetensors(os.path.join(out, "open_clip_model.safetensors"))
+    assert "visual.transformer.resblocks.0.ls_1.gamma" in sd
+    reloaded = CLIPModel(cfg=tiny, params=clip_params_from_state_dict(sd))
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 3, 32, 32), jnp.float32)
+    np.testing.assert_allclose(np.asarray(reloaded.encode_image(img)),
+                               np.asarray(m.encode_image(img)), atol=1e-6)
+
+
+def test_hub_preprocess_cfg_by_family(tmp_path):
+    # tiny stand-in weights: only the model NAME drives preprocess_cfg
+    m = _tiny_model()
+    out = hub.save_for_hub(m, "ViT-B-16-SigLIP-test", str(tmp_path / "s"))
+    cfgj = json.load(open(os.path.join(out, "open_clip_config.json")))
+    assert cfgj["preprocess_cfg"]["mean"] == [0.5, 0.5, 0.5]
+    assert cfgj["preprocess_cfg"]["resize_mode"] == "squash"

@@ -272,3 +272,40 @@ def test_head_proj_semantics():
     params = tt.init_timm_tower_params(jax.random.PRNGKey(3), vcfg, 640)
     assert params["head"]["proj_w"].shape == (640, 1024)
     assert "proj_b" not in params["head"]  # reference proj_bias=False default
+
+
+def test_force_image_size_on_native_towers():
+    """pos-embed resampling: SigLIP/EVA towers accept a non-native grid
+    (force_image_size / odd-resolution inputs)."""
+    from rs_ov.factory import create_model
+
+    m = create_model("ViT-B-16-SigLIP", force_image_size=256)
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 3, 256, 256),
+                      jnp.float32)
+    assert m.encode_image(img).shape == (1, 768)
+    # runtime interpolation also covers weights built at another size
+    arch = tt.SigLipVitArch(patch=16, width=32, depth=1, heads=2)
+    p = tt.init_siglip_vit_params(jax.random.PRNGKey(0), arch, image_size=32)
+    out = tt.siglip_vit_forward(p, jnp.ones((1, 3, 64, 64), jnp.float32), arch)
+    assert out.shape == (1, 32)
+    earch = tt.EvaArch(patch=8, width=16, depth=1, heads=2, mlp_hidden=24,
+                       rope=True, fused_qkv=True)
+    ep = tt.init_eva_params(jax.random.PRNGKey(1), earch, image_size=16,
+                            embed_dim=8)
+    out = tt.eva_forward(ep, jnp.ones((1, 3, 32, 32), jnp.float32), earch,
+                         embed_dim=8)
+    assert out.shape == (1, 8)
+
+
+def test_preprocess_style_by_family():
+    from rs_ov.factory import preprocess_style
+
+    mean, std, interp, mode = preprocess_style("ViT-B-16-SigLIP")
+    assert mean == (0.5, 0.5, 0.5) and mode == "squash"
+    mean, std, interp, mode = preprocess_style("ViT-L-14-CLIPA")
+    assert interp == "bilinear" and mode == "squash"
+    mean, _, _, mode = preprocess_style("ViT-B-16")
+    assert abs(mean[0] - 0.48145466) < 1e-8 and mode == "shortest"
+    # registry tag wins over the family fallback
+    mean, _, _, mode = preprocess_style("ViT-B-16-SigLIP", "webli")
+    assert mean == (0.5, 0.5, 0.5) and mode == "squash"

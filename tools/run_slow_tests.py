@@ -19,7 +19,10 @@ import sys
 import time
 
 # single source of truth: the conftest slow-module set
-sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+import os
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 from conftest import SLOW_TEST_MODULES  # noqa: E402
 
 SLOW_MODULES = sorted(SLOW_TEST_MODULES)

@@ -79,7 +79,11 @@ def _read_manifest(path: str) -> list[tuple[str, str]]:
                 d = json.loads(line)
                 pairs.append((d["image"], d["caption"]))
             else:
-                img, cap = line.split("\t" if "\t" in line else ",", 1)
+                # delimiter by extension; unknown extensions prefer tab
+                sep = ("\t" if path.endswith(".tsv")
+                       else "," if path.endswith(".csv")
+                       else "\t" if "\t" in line else ",")
+                img, cap = line.split(sep, 1)
                 pairs.append((img, cap))
     return pairs
 
@@ -170,10 +174,16 @@ def main(argv=None):
     if args.loss == "siglip" and "logit_bias" not in params:
         params["logit_bias"] = logit_bias0
 
+    # optax needs decay_steps > warmup_steps; short smoke runs clamp warmup
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=min(args.warmup, max(args.steps // 10, 1)),
+        0.0, args.lr, warmup_steps=min(args.warmup, max(args.steps - 1, 0)),
         decay_steps=args.steps)
-    optimizer = optax.adamw(schedule, weight_decay=args.wd)
+    # open_clip recipe: no weight decay on biases / LayerNorm / gains /
+    # logit_scale|bias — mask decay to matrices and embeddings (ndim >= 2)
+    optimizer = optax.adamw(
+        schedule, weight_decay=args.wd,
+        mask=lambda params: jax.tree_util.tree_map(
+            lambda p: getattr(p, "ndim", 0) >= 2, params))
     step_fn, init_opt = make_clip_train_step(
         cfg, mesh, optimizer=optimizer,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None,
