@@ -13,6 +13,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from rs_ov.upsample.jbu import adaptive_conv
+
 
 def test_jbu_epilogue_fused_matches_xla_composition():
     """Fused combined-kernel epilogue (softmax + spatial + normalise + fixup
@@ -23,7 +25,9 @@ def test_jbu_epilogue_fused_matches_xla_composition():
     from rs_ov.upsample.jbu import _spatial_kernel
 
     rng = np.random.RandomState(11)
-    b, c, h, w, d, g = 1, 8, 21, 19, 5, 3
+    # small grid: interpret mode is a python-level grid walk on CPU; 12x11
+    # still spans reflect-padded borders at r=2 plus interior columns
+    b, c, h, w, d, g = 1, 8, 12, 11, 5, 3
     dd = d * d
     logits = jnp.asarray(rng.randn(b, dd, h, w).astype(np.float32))
     guidance = jnp.asarray(rng.randn(b, g, h, w), jnp.bfloat16)
