@@ -243,6 +243,18 @@ def main() -> None:
             continue
         break
 
+    if float(result.get("value", 0.0) or 0.0) <= 0.0:
+        # no live measurement (e.g. the tunnel outage observed 2026-08-17
+        # lasted hours): attach the last committed driver-format artifact,
+        # clearly labeled — "value" stays 0 so the scoreboard is honest
+        committed = os.path.join(REPO, "benchmarks", "bench_r2.json")
+        if os.path.exists(committed):
+            try:
+                with open(committed) as f:
+                    result["last_good_committed"] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
+
     print(json.dumps(result), flush=True)
 
 

@@ -63,3 +63,10 @@ def test_budget_exhausted_still_prints_json(monkeypatch, capsys):
     parsed, calls = _run_main(monkeypatch, capsys, [_ok(1.0)], budget="10")
     assert parsed["metric"] == bench.METRIC
     assert calls == []  # no child launched under a 10s budget
+
+
+def test_failure_attaches_last_committed_artifact(monkeypatch, capsys):
+    parsed, _ = _run_main(monkeypatch, capsys, [None, None, None])
+    assert parsed["value"] == 0.0
+    lg = parsed.get("last_good_committed")
+    assert lg and lg["value"] > 0  # benchmarks/bench_r2.json
