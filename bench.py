@@ -22,11 +22,12 @@ empty tail; MULTICHIP_r01 libtpu AOT mismatch):
   - a "libtpu version mismatch" failure (stale AOT entries in the persistent
     compile cache after a terminal-side libtpu roll) clears
     ~/.cache/rs_ov_xla once and retries;
-  - backend init gets its own deadline (env RS_OV_BENCH_INIT_BUDGET, default
-    150s): a wedged tunnel (e.g. after another process was killed
-    mid-execution the chip reports FAILED_PRECONDITION / hangs for minutes)
-    fails the child fast and the parent retries in a FRESH process, which is
-    what actually recovers;
+  - backend init gets its own deadline: ONE long first window (env
+    RS_OV_BENCH_INIT_BUDGET, default 300s — a slow-recovering tunnel needs
+    minutes, and three short windows all losing is the round-2 postmortem),
+    then short fresh-process retries with whatever budget remains (a wedged
+    tunnel, e.g. after another process was killed mid-execution, reports
+    FAILED_PRECONDITION / hangs — a FRESH process is what actually recovers);
   - total wall budget: env RS_OV_BENCH_BUDGET seconds (default 420).
 
 The CPU reference number is the reference repo's own torch modules (fp32,
@@ -66,7 +67,7 @@ def _log(msg: str) -> None:
 # child: the actual measurement (runs under a deadline, always prints JSON)
 # --------------------------------------------------------------------------
 
-def _child_main(deadline_s: float) -> None:
+def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
     import threading
 
     result = {
@@ -87,8 +88,9 @@ def _child_main(deadline_s: float) -> None:
     # killed TPU process leaves the chip FAILED_PRECONDITION for minutes);
     # give init its own budget so the parent can retry in a fresh process
     # instead of burning the whole deadline on one hung jax.devices() call
-    init_budget = min(float(os.environ.get("RS_OV_BENCH_INIT_BUDGET", "150")),
-                      deadline_s * 0.5)
+    if init_budget_s is None:
+        init_budget_s = float(os.environ.get("RS_OV_BENCH_INIT_BUDGET", "150"))
+    init_budget = min(init_budget_s, deadline_s - 30)
 
     def watchdog() -> None:
         while True:
@@ -188,10 +190,10 @@ def _child_main(deadline_s: float) -> None:
 # parent: orchestrate, enforce budget, clear stale AOT cache, retry once
 # --------------------------------------------------------------------------
 
-def _run_child(deadline_s: float) -> dict | None:
+def _run_child(deadline_s: float, init_budget_s: float) -> dict | None:
     """Run the measurement child; return its parsed JSON line (or None)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--measure",
-           f"{deadline_s:.1f}"]
+           f"{deadline_s:.1f}", f"{init_budget_s:.1f}"]
     try:
         proc = subprocess.run(
             cmd, stdout=subprocess.PIPE, stderr=None,
@@ -222,8 +224,22 @@ def main() -> None:
         if remain < 45:
             result.setdefault("error", "budget exhausted before measurement")
             break
-        _log(f"attempt {attempt}: child deadline {remain:.0f}s")
-        parsed = _run_child(remain)
+        # Round-2 postmortem: against a slow-recovering tunnel, three short
+        # init windows (150/124/62s) all lost where one long window would
+        # have won.  Give attempt 1 ONE long init window (~300s of the
+        # default 420s budget, capped so ~90s of measurement time remains);
+        # later attempts get whatever is left.  Each dead init is also a
+        # process exit mid-init — the documented wedge cause — so fewer,
+        # longer windows are safer as well as more likely to succeed.
+        if attempt == 1:
+            init_budget = min(
+                float(os.environ.get("RS_OV_BENCH_INIT_BUDGET", "300")),
+                max(remain - 90, 45))
+        else:
+            init_budget = max(remain - 60, 45)
+        _log(f"attempt {attempt}: child deadline {remain:.0f}s, "
+             f"init window {init_budget:.0f}s")
+        parsed = _run_child(remain, init_budget)
         if parsed is not None:
             result = parsed
         if parsed and parsed.pop("retry_after_cache_clear", False) \
@@ -323,7 +339,8 @@ def _measure_cpu_reference() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
-        _child_main(float(sys.argv[2]))
+        _child_main(float(sys.argv[2]),
+                    float(sys.argv[3]) if len(sys.argv) > 3 else None)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cpu-reference":
         _measure_cpu_reference()
     else:

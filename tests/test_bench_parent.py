@@ -13,8 +13,8 @@ import bench
 def _run_main(monkeypatch, capsys, child_results, budget="420"):
     calls = []
 
-    def fake_run_child(deadline_s):
-        calls.append(deadline_s)
+    def fake_run_child(deadline_s, init_budget_s):
+        calls.append((deadline_s, init_budget_s))
         r = child_results[min(len(calls) - 1, len(child_results) - 1)]
         return dict(r) if r is not None else None
 
@@ -63,6 +63,19 @@ def test_budget_exhausted_still_prints_json(monkeypatch, capsys):
     parsed, calls = _run_main(monkeypatch, capsys, [_ok(1.0)], budget="10")
     assert parsed["metric"] == bench.METRIC
     assert calls == []  # no child launched under a 10s budget
+
+
+def test_first_attempt_gets_one_long_init_window(monkeypatch, capsys):
+    """Round-2 postmortem: 3 short init windows (150/124/62s) all lost to a
+    slow-recovering tunnel. Attempt 1 must get ~300s; retries get the rest."""
+    parsed, calls = _run_main(monkeypatch, capsys, [None, None, None])
+    assert len(calls) == 3
+    (d1, i1), (d2, i2), (d3, i3) = calls
+    assert i1 >= 290  # one long window first (300s default, 420s budget)
+    assert i1 <= d1 - 85  # still leaves measurement time
+    # retries take whatever budget remains at that point (shrinks in real
+    # time; the stubbed children return instantly so only pin the formula)
+    assert i2 == max(d2 - 60, 45) and i3 == max(d3 - 60, 45)
 
 
 def test_failure_attaches_last_committed_artifact(monkeypatch, capsys):
