@@ -41,6 +41,12 @@ def parse_args():
 def main():
     args = parse_args()
     if args.merge:
+        # merging per-rank confusion matrices is pure host work: never let a
+        # wedged TPU tunnel hang it (import of the eval stack can trigger
+        # backend init — see rs_ov/core/platform.py)
+        from rs_ov.core.platform import pin_cpu
+
+        pin_cpu()
         from rs_ov.evalsuite.runner import merge_eval_results
 
         results = merge_eval_results(args.merge)

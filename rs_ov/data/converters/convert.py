@@ -285,6 +285,11 @@ def convert_binary(img_dir, ann_dir, out_dir, threshold=128,
 
 
 def main():
+    # converters are pure host work (PIL/numpy): never let a wedged TPU
+    # tunnel hang them if anything pulls in jax (rs_ov/core/platform.py)
+    from rs_ov.core.platform import pin_cpu
+
+    pin_cpu()
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="dataset", required=True)
 

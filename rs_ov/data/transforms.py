@@ -9,9 +9,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from rs_ov.pipeline.segmentor import PREPROC_MEAN, PREPROC_STD
+__all__ = ["preprocess_image", "load_image", "load_annotation",
+           "PREPROC_MEAN", "PREPROC_STD"]
 
-__all__ = ["preprocess_image", "load_image", "load_annotation"]
+# SegDataPreProcessor constants (reference segmentor.py:64-67), RGB order.
+# Defined here (not in pipeline.segmentor, which re-exports them) so that
+# importing rs_ov.data never pulls in jax — CPU-only tools (converters,
+# metric merge) must work with the TPU tunnel down.
+PREPROC_MEAN = np.array([122.771, 116.746, 104.094], np.float32)
+PREPROC_STD = np.array([68.501, 66.632, 70.323], np.float32)
 
 
 def preprocess_image(img_rgb: np.ndarray) -> np.ndarray:

@@ -19,14 +19,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["detect_outliers_by_attention", "outlier_suppress"]
 
-# 8-neighbour offsets in the reference's iteration order
-_OFFSETS = jnp.array(
+# 8-neighbour offsets in the reference's iteration order.
+# numpy, NOT jnp: a module-level jnp.array initialises the jax backend at
+# import time, which hangs every CPU-only entry point when the TPU tunnel
+# is wedged (round-3 finding; jnp ops consume numpy operands directly).
+_OFFSETS = np.array(
     [[-1, -1], [-1, 0], [-1, 1],
      [0, -1],           [0, 1],
-     [1, -1], [1, 0], [1, 1]], dtype=jnp.int32)
+     [1, -1], [1, 0], [1, 1]], dtype=np.int32)
 
 
 def _head_average(attn: jnp.ndarray) -> jnp.ndarray:

@@ -43,9 +43,9 @@ from rs_ov.upsample.jbu import get_upsampler
 
 __all__ = ["SegmentorEx", "Segmentor", "PREPROC_MEAN", "PREPROC_STD"]
 
-# SegDataPreProcessor constants (reference segmentor.py:64-67), RGB order
-PREPROC_MEAN = np.array([122.771, 116.746, 104.094], np.float32)
-PREPROC_STD = np.array([68.501, 66.632, 70.323], np.float32)
+# SegDataPreProcessor constants live in the jax-free rs_ov.data.transforms
+# (re-exported here for API compatibility)
+from rs_ov.data.transforms import PREPROC_MEAN, PREPROC_STD  # noqa: E402
 
 
 def _resolve_arch(clip_type: str, vit_type: str) -> str:
