@@ -28,12 +28,13 @@ Head semantics reproduced from reference timm_model.py:58-109:
   the projection (reference timm_model.py:62-73 — the EVA configs).
 
 EVA block-flag values follow timm's ``eva.py`` model registry for the five
-eva names the reference configs use. No timm oracle exists in this image
-(torch-cpu only, no timm package); the ConvNeXt and SigLIP families are
-parity-tested against ``transformers``' ConvNextModel / SiglipVisionModel
-oracles, the EVA family against structural/math invariants — exact-parity
-against real EVA checkpoints runs through tools/parity_check.py the day
-weights exist.
+eva names the reference configs use. No timm package exists in this image
+(torch-cpu only); the ConvNeXt and SigLIP families are parity-tested against
+``transformers``' ConvNextModel / SiglipVisionModel oracles, and the EVA
+family against an independent from-scratch torch float64 oracle
+(tests/test_eva_oracle.py: complex-number rotary, conv2d patchify) covering
+every flag combination — exact-parity against real EVA checkpoints runs
+through tools/parity_check.py the day weights exist.
 """
 
 from __future__ import annotations

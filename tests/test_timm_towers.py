@@ -2,10 +2,11 @@
 
 ConvNeXt is checked against ConvNextModel and SigLIP-ViT against
 SiglipVisionModel (both random-weight, weight-mapped — the same oracle
-pattern as tests/test_parity_vit.py). The EVA family has no oracle in this
-image (no timm package); it is checked on structural/math invariants
-(rope norm preservation + relative-offset dependence, SwiGLU math, named
-construction). Reference adapter semantics: open_clip/timm_model.py:29-162.
+pattern as tests/test_parity_vit.py). The EVA family is numerically
+oracle-tested in tests/test_eva_oracle.py (independent torch float64
+implementation); the invariant checks here (rope norm preservation +
+relative-offset dependence, SwiGLU math, named construction) are kept as
+fast smoke coverage. Reference adapter semantics: open_clip/timm_model.py:29-162.
 """
 
 import jax
