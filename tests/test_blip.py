@@ -129,10 +129,11 @@ class _TorchBlipViT(nn.Module):
         return self.norm(x)
 
 
-@pytest.mark.parametrize("ignore_residual", [False, True])
-def test_blip_vit_parity(ignore_residual):
+def build_tiny_blip_vit(depth=3):
+    """(torch oracle, rs_ov params, BlipVisionConfig) with shared seeded
+    weights — used by test_blip_vit_parity and tools/parity_check.py."""
     torch.manual_seed(1)
-    oracle = _TorchBlipViT()
+    oracle = _TorchBlipViT(depth=depth)
     oracle.eval()
     sd = oracle.state_dict()
     params = {
@@ -144,7 +145,7 @@ def test_blip_vit_parity(ignore_residual):
         "norm": {"scale": jnp.asarray(sd["norm.weight"].numpy()),
                  "bias": jnp.asarray(sd["norm.bias"].numpy())},
     }
-    for i in range(3):
+    for i in range(depth):
         params["blocks"].append({
             "norm1": {"scale": jnp.asarray(sd[f"blocks.{i}.norm1.weight"].numpy()),
                       "bias": jnp.asarray(sd[f"blocks.{i}.norm1.bias"].numpy())},
@@ -163,7 +164,14 @@ def test_blip_vit_parity(ignore_residual):
                 "c_proj_b": jnp.asarray(sd[f"blocks.{i}.mlp.2.bias"].numpy()),
             },
         })
-    cfg = BlipVisionConfig(image_size=32, patch_size=16, width=32, layers=3, heads=2)
+    cfg = BlipVisionConfig(image_size=32, patch_size=16, width=32, layers=depth,
+                           heads=2)
+    return oracle, params, cfg
+
+
+@pytest.mark.parametrize("ignore_residual", [False, True])
+def test_blip_vit_parity(ignore_residual):
+    oracle, params, cfg = build_tiny_blip_vit()
     img = np.random.RandomState(2).randn(2, 3, 32, 32).astype(np.float32)
     with torch.no_grad():
         ref = oracle(torch.from_numpy(img), ignore_residual=ignore_residual).numpy()

@@ -27,6 +27,23 @@ Stages checked (fp32, CPU platform, fixed seeded input):
   5 logits           L2-norm + cosine classifier (segmentor.py:374-375)
   6 pred             slide + postprocess argmax agreement (segmentor.py:394-532)
 
+Path-coverage stages (every clip_type / attention path the reference ships —
+reference segmentor.py:69-129 — same weights, disable with --no-paths):
+  attn:<mode> x10    each custom-attn mode vs the reference torch forward
+                     (transformer.py custom_attn: vanilla MaskCLIP SCLIP
+                     SegEarth SFP Experimental ClearCLIP NACLIP NOnly GAV)
+  gem_stream         GEM surgery + dual-stream forward vs the reference's
+                     modified_vit_forward (gem/gem_utils.py)
+  blip_qq            BLIP ViT last-block q@q attention vs a torch oracle of
+                     BLIP/models/vit.py:43-224 (weight-shared tiny net)
+  ctd_cluster        production DBSCAN token clustering vs reference CTD.py
+  ctd_debias         adaptive per-cluster debiasing vs reference CTD.py
+  xtile:weighted/attention  batched cross-tile fusion vs the reference's
+                     sequential cache walk (cross_tile_fusion.py)
+  som                spec invariants (the reference ships SOM tests + spec
+                     docs but no module): planted outliers detected,
+                     non-outliers bit-preserved, fixture-locked stats
+
 Then `eval_all.py --checkpoint <ckpt>` over converted datasets produces the
 per-config mIoU table to diff against the reference run (see BASELINE.md).
 Exit code 0 iff every stage is within tolerance.
@@ -58,7 +75,17 @@ TOL = {  # fp32 max-abs tolerances per stage
     "debias_tokens": 5e-4,
     "jbu_feats": 2e-3,
     "logits": 2e-3,
+    "gem_stream": 1e-3,
+    "blip_qq": 2e-5,
+    "ctd_debias": 1e-5,
+    "xtile:weighted": 5e-5,
+    "xtile:attention": 5e-5,
 }
+for _m in ("vanilla", "MaskCLIP", "SCLIP", "SegEarth", "SFP", "Experimental",
+           "ClearCLIP", "NACLIP", "NOnly", "GAV"):
+    TOL[f"attn:{_m}"] = 5e-4
+ATTN_MODES = ("vanilla", "MaskCLIP", "SCLIP", "SegEarth", "SFP",
+              "Experimental", "ClearCLIP", "NACLIP", "NOnly", "GAV")
 
 
 def _stats(x: np.ndarray) -> dict:
@@ -168,7 +195,177 @@ def _tiny_cfg():
     )
 
 
-def run(checkpoint: str | None, precision_ab: bool, update_fixtures: bool):
+def run_path_stages(cfg, vit_t, quick, img_np, check, report):
+    """Certify every clip_type / attention path the reference ships
+    (reference segmentor.py:69-129) with the same weights as the flagship
+    stages. Appends to `report` via the shared `check` closure."""
+    import copy
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from ref_shim import load_reference_module
+    from rs_ov.core.checkpoint import vision_params_from_state_dict
+    from rs_ov.decontam.cross_tile import CrossTileFusionConfig, fuse_tile_grid
+    from rs_ov.decontam.ctd import adaptive_debiasing, cluster_patch_tokens_dbscan
+    from rs_ov.decontam.som import suppress_outlier_module
+    from rs_ov.nn.blip_vit import blip_vit_forward
+    from rs_ov.nn.gem import gem_vit_forward
+    from rs_ov.nn.vit import VitCallConfig, vit_forward
+
+    img_t = torch.from_numpy(img_np)
+
+    # bare attention paths: decontamination hooks off on both sides
+    saved = (vit_t.similarity_enhancer, vit_t.outlier_suppressor)
+    vit_t.similarity_enhancer = None
+    vit_t.outlier_suppressor = None
+    sd = {k: v.detach().numpy() for k, v in vit_t.state_dict().items()}
+    vparams = vision_params_from_state_dict(sd, prefix="")
+    try:
+        # 10 custom-attn modes (reference transformer.py custom_attn)
+        for mode in ATTN_MODES:
+            with torch.no_grad():
+                _, tok_t = vit_t(img_t, model_type=mode, ignore_residual=True,
+                                 output_cls_token=True)
+            _, tok = vit_forward(
+                vparams, jnp.asarray(img_np), cfg.vision,
+                VitCallConfig(model_type=mode, ignore_residual=True,
+                              output_cls_token=True, quick_gelu=quick))
+            check(f"attn:{mode}", tok, tok_t.numpy())
+
+        # GEM dual-stream (reference gem/gem_utils.py, gem_wrapper.py:24-45)
+        from ref_shim import load_reference_transformer
+        tmod = load_reference_transformer()
+        gem_utils = load_reference_module("gem_utils")
+        gvit = copy.deepcopy(vit_t)
+        depth = 3
+        for i in range(1, depth):
+            blk = gvit.transformer.resblocks[-i]
+            num_heads = blk.attn.num_heads
+            dim = blk.attn.head_dim * num_heads
+            ss = gem_utils.SelfSelfAttention(dim=dim, num_heads=num_heads,
+                                             qkv_bias=True)
+            ss.qkv.weight.data = blk.attn.in_proj_weight.clone()
+            ss.qkv.bias.data = blk.attn.in_proj_bias.clone()
+            ss.proj.weight.data = blk.attn.out_proj.weight.clone()
+            ss.proj.bias.data = blk.attn.out_proj.bias.clone()
+            blk.attn = ss
+            gvit.transformer.resblocks[-i] = gem_utils.GEMResidualBlock(
+                blk, True)
+        gvit.forward = gem_utils.modified_vit_forward.__get__(
+            gvit, tmod.VisionTransformer)
+        gvit.eval()
+        with torch.no_grad():
+            gem_t = gvit(img_t).numpy()
+        gem_j = gem_vit_forward(vparams, jnp.asarray(img_np), cfg.vision,
+                                depth=depth, ignore_residual=True,
+                                quick_gelu_act=quick)
+        check("gem_stream", gem_j, gem_t)
+    finally:
+        vit_t.similarity_enhancer, vit_t.outlier_suppressor = saved
+
+    # BLIP q@q last-block path (reference BLIP/models/vit.py:43-224);
+    # weight-shared tiny net — BLIP ships its own checkpoint family, so this
+    # certifies the code path, not the flagship weights
+    from test_blip import build_tiny_blip_vit
+    oracle, bparams, bcfg = build_tiny_blip_vit()
+    bimg = np.random.RandomState(2).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        blip_t = oracle(torch.from_numpy(bimg), ignore_residual=True).numpy()
+    blip_j = blip_vit_forward(bparams, jnp.asarray(bimg), bcfg,
+                              ignore_residual=True)
+    check("blip_qq", blip_j, blip_t)
+
+    # CTD: production DBSCAN clustering (reference segmentor.py:343-352)
+    ctd_ref = load_reference_module("CTD")
+    rng = np.random.RandomState(0)
+    base = np.where(np.arange(196)[:, None] < 98,
+                    rng.randn(1, 64) * 0.1 + 2.0,
+                    rng.randn(1, 64) * 0.1 - 2.0)
+    toks = (base + rng.randn(196, 64) * 0.05).astype(np.float32)[None]
+    dcfg = {"max_points": 8192, "metric": "euclidean", "eps": 1.1,
+            "min_samples": 11}
+    _, ref_labels = ctd_ref.cluster_patch_tokens_dbscan(
+        torch.from_numpy(toks), grid_hw=(14, 14), cfg_dict=dcfg)
+    _, labels = cluster_patch_tokens_dbscan(jnp.asarray(toks), (14, 14), dcfg)
+    labels = np.asarray(labels)[0]
+    ref_labels = ref_labels.numpy()[0]
+    ok = bool(np.array_equal(labels, ref_labels))
+    report.append({"stage": "ctd_cluster", "ok": ok,
+                   "ours": _stats(labels.astype(np.float64))})
+    print(f"  {'ctd_cluster':15s} label agreement "
+          f"{float(np.mean(labels == ref_labels)):.4f}  "
+          f"{'OK' if ok else 'FAIL'}")
+
+    # CTD: adaptive per-cluster debiasing (reference CTD.py)
+    rng = np.random.RandomState(1)
+    items = rng.randn(1, 20, 6).astype(np.float32)
+    lab = np.array([[0, 0, 0, 1, 1, -1, 2, 2, 2, 2,
+                     1, 1, 0, -1, 2, 0, 1, 2, 0, 1]], dtype=np.int64)
+    bias = rng.randn(1, 6).astype(np.float32)
+    with torch.no_grad():
+        deb_t = ctd_ref.adaptive_debiasing(
+            items=torch.from_numpy(items.copy()), labels=torch.from_numpy(lab),
+            bias=torch.from_numpy(bias), factor=-1.5).numpy()
+    deb_j = adaptive_debiasing(jnp.asarray(items), jnp.asarray(lab),
+                               jnp.asarray(bias), factor=-1.5)
+    check("ctd_debias", deb_j, deb_t)
+
+    # cross-tile fusion, both modes, vs the reference's sequential cache walk
+    ctf_mod = load_reference_module("cross_tile_fusion")
+    gh, gw, ph, pw, c = 3, 4, 6, 6, 16
+    rng = np.random.RandomState(0)
+    tiles = rng.randn(gh * gw, ph * pw, c).astype(np.float32)
+    for fmode in ("weighted", "attention"):
+        ref = ctf_mod.CrossTileFusion(fusion_mode=fmode,
+                                      cache_boundary_width=2,
+                                      fusion_strength=0.3,
+                                      adaptive_fusion=True)
+        ref_out = np.zeros_like(tiles)
+        with torch.no_grad():
+            t = 0
+            for hh in range(gh):
+                for ww in range(gw):
+                    cur = torch.from_numpy(tiles[t:t + 1].copy())
+                    ref_out[t] = ref(cur, hh, ww, ph, pw).numpy()[0]
+                    t += 1
+        xcfg = CrossTileFusionConfig(fusion_mode=fmode, cache_boundary_width=2,
+                                     fusion_strength=0.3, adaptive_fusion=True)
+        got = fuse_tile_grid(jnp.asarray(tiles), (gh, gw), (ph, pw), xcfg)
+        check(f"xtile:{fmode}", got, ref_out)
+
+    # SOM spec invariants (the reference ships tests + spec docs, no module):
+    # planted CLS-leaning outliers detected, non-outliers bit-preserved
+    rng = np.random.RandomState(0)
+    b, sgh, sgw, sc = 1, 4, 4, 768
+    p_tok = sgh * sgw
+    s_toks = rng.randn(b, p_tok, sc).astype(np.float32)
+    attn = rng.rand(b, 12, p_tok + 1, p_tok + 1).astype(np.float32) * 0.01
+    # healthy tokens: strongly self-sufficient; planted: CLS-leaning
+    for j in range(p_tok + 1):
+        attn[:, :, j, j] = 0.5
+    planted = [5, 10]
+    for idx in planted:
+        attn[:, :, idx + 1, idx + 1] = 0.01
+        attn[:, :, 0, idx + 1] = 0.5
+    attn = attn / attn.sum(-1, keepdims=True)
+    purified, mask, _ = suppress_outlier_module(
+        jnp.asarray(s_toks), jnp.asarray(attn), sgh, sgw)
+    purified = np.asarray(purified)
+    flat = np.asarray(mask).reshape(b, p_tok)
+    detected = set(np.nonzero(flat[0])[0].tolist())
+    keep = ~flat[0]
+    ok = (detected == set(planted)
+          and np.array_equal(purified[0, keep], s_toks[0, keep])
+          and not np.allclose(purified[0, flat[0]], s_toks[0, flat[0]]))
+    report.append({"stage": "som", "ok": bool(ok), "ours": _stats(purified)})
+    print(f"  {'som':15s} planted detected={sorted(detected)} "
+          f"{'OK' if ok else 'FAIL'}")
+
+
+def run(checkpoint: str | None, precision_ab: bool, update_fixtures: bool,
+        paths: bool = True):
     import torch
 
     import jax
@@ -302,6 +499,10 @@ def run(checkpoint: str | None, precision_ab: bool, update_fixtures: bool):
         print(f"  {'bf16 A/B':15s} vit tokens max|d|={d:.3e} (rel {rel:.2%}) "
               "- informational; certify via mIoU A/B on real data")
 
+    # path coverage: every clip_type / attention path (same weights)
+    if paths:
+        run_path_stages(cfg, vit_t, quick, img_np, check, report)
+
     # fixture lock (tiny mode only: stats of every stage are committed)
     if checkpoint is None:
         stats = {r["stage"]: r.get("ours") for r in report if "ours" in r}
@@ -313,6 +514,12 @@ def run(checkpoint: str | None, precision_ab: bool, update_fixtures: bool):
             with open(FIXTURES) as fh:
                 want = json.load(fh)
             for stage, st in stats.items():
+                if stage not in want:
+                    report.append({"stage": f"fixture:{stage}", "ok": False,
+                                   "got": st, "want": "MISSING (re-run with "
+                                   "--update-fixtures and commit)"})
+                    print(f"  fixture missing for {stage} FAIL")
+                    continue
                 for k, v in want[stage].items():
                     d = abs(st[k] - v)
                     scale = max(abs(v), 1e-3)
@@ -335,6 +542,8 @@ if __name__ == "__main__":
     ap.add_argument("--jbu-checkpoint", default=None)
     ap.add_argument("--precision-ab", action="store_true")
     ap.add_argument("--update-fixtures", action="store_true")
+    ap.add_argument("--no-paths", action="store_true",
+                    help="skip the per-clip_type path-coverage stages")
     _ARGS = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -342,4 +551,5 @@ if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    sys.exit(run(_ARGS.checkpoint, _ARGS.precision_ab, _ARGS.update_fixtures))
+    sys.exit(run(_ARGS.checkpoint, _ARGS.precision_ab, _ARGS.update_fixtures,
+                 paths=not _ARGS.no_paths))
