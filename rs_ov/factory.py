@@ -163,6 +163,18 @@ def create_model(model_name: str, pretrained: Optional[str] = None,
         return c
 
     dtype = _PRECISIONS.get(precision, jnp.float32)
+    if pretrained and not os.path.exists(pretrained):
+        # registry tag -> SHA-verified file already staged in the cache dir
+        # (reference factory.py:278-301 via pretrained.py download_pretrained;
+        # here the fetch itself is zero-egress so only cache hits resolve)
+        from rs_ov.pretrained import download_pretrained, get_pretrained_cfg
+
+        pcfg = get_pretrained_cfg(model_name, pretrained)
+        if pcfg:
+            try:
+                pretrained = download_pretrained(pcfg)
+            except RuntimeError:
+                pass  # cache miss: fall through to the canonical-URL refusal
     if model_name.startswith("coca"):
         return _create_coca(model_name, pretrained, dtype, seed)
     if pretrained and os.path.exists(pretrained) and pretrained.endswith(".npz"):

@@ -11,10 +11,17 @@ resize_mode) parameterise `factory.image_transform` exactly as there.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import warnings
+
 __all__ = [
+    "download_pretrained", "download_pretrained_from_hf",
+    "download_pretrained_from_url", "expected_sha256_for_url",
     "get_pretrained_cfg", "get_pretrained_url", "is_pretrained_cfg",
     "list_pretrained", "list_pretrained_models_by_tag",
-    "list_pretrained_tags_by_model",
+    "list_pretrained_tags_by_model", "resolve_cache_dir",
+    "verify_sha256_prefix",
 ]
 
 OPENAI_MEAN, OPENAI_STD = (0.48145466, 0.4578275, 0.40821073), \
@@ -341,3 +348,121 @@ def list_pretrained_models_by_tag(tag: str) -> list[str]:
 
 def list_pretrained_tags_by_model(model: str) -> list[str]:
     return list(PRETRAINED.get(model.replace("/", "-"), {}))
+
+
+# --- checkpoint cache: resolution + SHA-256 verification -------------------
+#
+# Mirrors the reference's cache semantics (reference
+# open_clip/pretrained.py:508-607): a flat cache dir keyed by URL basename,
+# with SHA-256-prefix verification for the two distributor URL schemes that
+# embed a hash. Everything except the actual network fetch is implemented
+# and unit-tested offline; the fetch itself is isolated in `_fetch`, which
+# raises in this zero-egress environment with the canonical URL so the
+# caller can stage the file into the cache dir by hand.
+
+HF_WEIGHTS_NAME = "open_clip_pytorch_model.bin"
+
+
+def resolve_cache_dir(cache_dir: str | None = None) -> str:
+    """Cache-dir precedence: explicit arg > $RS_OV_CACHE_DIR > ~/.cache/clip
+    (the reference's default, so a cache populated by the reference is
+    found as-is — reference pretrained.py:512-513)."""
+    if not cache_dir:
+        cache_dir = os.environ.get("RS_OV_CACHE_DIR") or os.path.expanduser(
+            os.path.join("~", ".cache", "clip"))
+    return cache_dir
+
+
+def expected_sha256_for_url(url: str) -> str:
+    """SHA-256 prefix embedded in a distributor URL, '' if none.
+
+    openaipublic URLs carry the full hash as the parent path segment;
+    mlfoundations release assets carry an 8-hex prefix as the filename's
+    final '-' suffix (reference pretrained.py:517-522).
+    """
+    filename = os.path.basename(url)
+    if "openaipublic" in url:
+        return url.split("/")[-2]
+    if "mlfoundations" in url:
+        return os.path.splitext(filename)[0].split("-")[-1]
+    return ""
+
+
+def verify_sha256_prefix(path: str, expected: str) -> bool:
+    """True iff sha256(file) starts with `expected` (chunked; checkpoints
+    are GB-scale). Empty `expected` verifies trivially."""
+    if not expected:
+        return True
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest().startswith(expected)
+
+
+def _fetch(url: str, target: str) -> None:
+    """The one network call, isolated so the rest is offline-testable."""
+    raise RuntimeError(
+        f"No egress in this environment: cannot download {url}. Fetch it "
+        f"elsewhere and place it at {target} (or pass a local path as "
+        f"`pretrained`).")
+
+
+def download_pretrained_from_url(url: str,
+                                 cache_dir: str | None = None) -> str:
+    """Resolve `url` to a verified local file in the cache, fetching on
+    miss/corruption (reference pretrained.py:508-560)."""
+    cache_dir = resolve_cache_dir(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    expected = expected_sha256_for_url(url)
+    target = os.path.join(cache_dir, os.path.basename(url))
+
+    if os.path.exists(target) and not os.path.isfile(target):
+        raise RuntimeError(f"{target} exists and is not a regular file")
+    if os.path.isfile(target):
+        if verify_sha256_prefix(target, expected):
+            return target
+        warnings.warn(f"{target} exists but its SHA-256 does not start with "
+                      f"{expected}; re-downloading")
+
+    _fetch(url, target)
+    if not verify_sha256_prefix(target, expected):
+        raise RuntimeError(
+            f"downloaded {target} but its SHA-256 does not match {expected}")
+    return target
+
+
+def download_pretrained_from_hf(model_id: str,
+                                filename: str = HF_WEIGHTS_NAME,
+                                revision: str | None = None,
+                                cache_dir: str | None = None) -> str:
+    """Resolve an HF-hub artifact. Offline: found iff already staged at
+    <cache>/<org>/<model>/<filename> (reference pretrained.py:570-578 goes
+    through hf_hub_download; the staging layout here is the repo-id path)."""
+    cache_dir = resolve_cache_dir(cache_dir)
+    target = os.path.join(cache_dir, *model_id.split("/"), filename)
+    if os.path.isfile(target):
+        return target
+    _fetch(f"https://huggingface.co/{model_id}/resolve/"
+           f"{revision or 'main'}/{filename}", target)
+    return target
+
+
+def download_pretrained(cfg: dict, force_hf_hub: bool = False,
+                        cache_dir: str | None = None) -> str:
+    """Dispatch a registry entry to its source: URL wins unless
+    `force_hf_hub`; an `hf_hub` value of 'org/model/' (trailing slash)
+    means the default weights filename (reference pretrained.py:581-607)."""
+    if not cfg:
+        return ""
+    url, hf_hub = cfg.get("url", ""), cfg.get("hf_hub", "")
+    if hf_hub and force_hf_hub:
+        url = ""
+    if url:
+        return download_pretrained_from_url(url, cache_dir=cache_dir)
+    if hf_hub:
+        model_id, filename = os.path.split(hf_hub)
+        return download_pretrained_from_hf(
+            model_id, filename=filename or HF_WEIGHTS_NAME,
+            cache_dir=cache_dir)
+    return ""
