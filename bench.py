@@ -112,12 +112,22 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cpu_ref = json.load(f)["tiles512_per_sec"]
+    try:
+        from benchmarks.mfu import flops_512_image, mfu_pct
+        gflops_unit = round(flops_512_image()["total"], 1)
+    except Exception:  # the headline must never depend on the accounting
+        gflops_unit, mfu_pct = None, None
 
     def update(value: float, note: str | None) -> None:
         with lock:
             result["value"] = round(value, 4)
             if cpu_ref:
                 result["vs_baseline"] = round(value / cpu_ref, 2)
+            if gflops_unit:
+                # useful-MXU-FLOPs accounting (benchmarks/mfu.py): one 512^2
+                # unit = gflops_unit GFLOP vs the v5e 197 TFLOP/s bf16 peak
+                result["gflops_per_unit"] = gflops_unit
+                result["mfu_pct"] = round(mfu_pct(value), 2)
             if note is None:
                 result.pop("error", None)
                 result.pop("partial", None)

@@ -72,7 +72,8 @@ def main():
                        max_samples=args.max_samples, model_overrides=overrides,
                        save_seg_dir=save_seg_dir, save_heatmap_dir=save_heatmap_dir)
     print(json.dumps({k: results[k] for k in
-                      ("aAcc", "mIoU", "mAcc", "num_images", "tiles512_per_sec")},
+                      ("aAcc", "mIoU", "mAcc", "num_images", "tiles512_per_sec",
+                       "tiles512_per_sec_steady") if k in results},
                      indent=2))
 
 

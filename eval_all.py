@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--work-dir", default="work_dirs/all")
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--json-out", default=None,
+                        help="also write the summary dict to this file")
     args = parser.parse_args()
 
     from rs_ov.evalsuite.runner import run_eval
@@ -47,12 +49,18 @@ def main():
         try:
             r = run_eval(config, work_dir=args.work_dir,
                          max_samples=args.max_samples, model_overrides=overrides)
-            summary[config] = {k: r[k] for k in ("aAcc", "mIoU", "mAcc", "num_images")}
+            keys = ("aAcc", "mIoU", "mAcc", "num_images",
+                    "tiles512_per_sec", "tiles512_per_sec_steady")
+            summary[config] = {k: r[k] for k in keys if k in r}
         except FileNotFoundError as e:
             summary[config] = {"error": f"dataset missing: {e}"}
         except Exception:
             summary[config] = {"error": traceback.format_exc(limit=3)}
-    print(json.dumps(summary, indent=2))
+    out = json.dumps(summary, indent=2)
+    print(out)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(out + "\n")
 
 
 if __name__ == "__main__":

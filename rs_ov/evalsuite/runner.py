@@ -94,6 +94,7 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     n = len(dataset)
     t0 = time.perf_counter()
     pixels = 0
+    warm = [0.0, 0]  # (time, pixels) after the first image — i.e. post-compile
 
     def consume(pending):
         nonlocal pixels
@@ -102,6 +103,8 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
         pixels += pred.size
         if seg is not None:
             metric.process(pred, seg)
+        if not warm[1]:
+            warm[0], warm[1] = time.perf_counter(), pixels
 
     # one-deep software pipeline: enqueue image i's (uint8, device-normalised)
     # upload + compute, then block on image i-1's result — the host-side
@@ -122,6 +125,12 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     results["num_images"] = n
     results["elapsed_sec"] = elapsed
     results["tiles512_per_sec"] = (pixels / (512.0 * 512.0)) / elapsed if elapsed else 0.0
+    # steady-state rate excludes the first image (which pays the per-geometry
+    # XLA compile) — the number comparable to bench.py's warm headline
+    steady_t = t0 + elapsed - warm[0]
+    if n > 1 and steady_t > 0:
+        results["tiles512_per_sec_steady"] = (
+            (pixels - warm[1]) / (512.0 * 512.0)) / steady_t
 
     os.makedirs(work_dir, exist_ok=True)
     tag = os.path.splitext(os.path.basename(config_path))[0]

@@ -31,7 +31,8 @@ import pytest  # noqa: E402
 
 # Test tiers: the full suite takes >10 min on a 1-core host (torch oracles,
 # e2e pipelines, 8-virtual-device runs). The fast tier (`pytest -m "not
-# slow"`) covers all pure-numerics/unit/harness tests in ~6 min.
+# slow"`) covers all pure-numerics/unit/harness tests in ~5-7 min
+# (contention-dependent on this 1-core host).
 SLOW_TEST_MODULES = {
     "test_blip.py", "test_coca.py", "test_hf_text.py", "test_e2e_gem_blip.py",
     "test_e2e_pipeline.py", "test_factory.py", "test_kernels.py",

@@ -9,7 +9,7 @@ gone, the slow tier runs one pytest process per module:
     python tools/run_slow_tests.py          # all slow modules
     python tools/run_slow_tests.py blip coca  # substring filter
 
-Fast tier stays a single process: `pytest -m "not slow"` (~6 min).
+Fast tier stays a single process: `pytest -m "not slow"` (~5-7 min).
 """
 
 from __future__ import annotations
