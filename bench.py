@@ -112,9 +112,12 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cpu_ref = json.load(f)["tiles512_per_sec"]
+    # the FLOPs model follows the JBU stage count so fast-mode runs
+    # (RS_OV_JBU_STAGES<4, opt-in) report honest useful-work MFU
+    jbu_stages = int(os.environ.get("RS_OV_JBU_STAGES", "4"))
     try:
         from benchmarks.mfu import flops_512_image, mfu_pct
-        gflops_unit = round(flops_512_image()["total"], 1)
+        gflops_unit = round(flops_512_image(stages=jbu_stages)["total"], 1)
     except Exception:  # the headline must never depend on the accounting
         gflops_unit, mfu_pct = None, None
 
@@ -127,7 +130,7 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
                 # useful-MXU-FLOPs accounting (benchmarks/mfu.py): one 512^2
                 # unit = gflops_unit GFLOP vs the v5e 197 TFLOP/s bf16 peak
                 result["gflops_per_unit"] = gflops_unit
-                result["mfu_pct"] = round(mfu_pct(value), 2)
+                result["mfu_pct"] = round(mfu_pct(value, stages=jbu_stages), 2)
             if note is None:
                 result.pop("error", None)
                 result.pop("partial", None)

@@ -86,28 +86,32 @@ def _jbu_stage_macs_per_px() -> dict:
     }
 
 
-def flops_512_image(q: int = 6) -> dict:
+def flops_512_image(q: int = 6, stages: int = 4) -> dict:
     """Per-phase GFLOPs (2 * MACs) for one 512^2 unit of the flagship
     recipe with a q-class vocabulary. Returns {phase: gflops} plus
-    breakdown/diagnostic entries (keys starting with '_')."""
+    breakdown/diagnostic entries (keys starting with '_').
+
+    stages < 4 models the reduced-stage JBU fast mode (upsample/jbu.py):
+    fewer x2 grids and the classify tail at the reduced final grid."""
     vit = _vit_crop_macs()
     vit_macs = CROPS * sum(vit.values())
 
     px = _jbu_stage_macs_per_px()
-    stage_px_total = sum(STAGE_HW)
+    stage_px_total = sum(STAGE_HW[:stages])
     jbu_macs = CROPS * stage_px_total * sum(px.values())
 
     # classify tail (fused into the last JBU stage's kernel,
     # rs_ov/kernels/jbu_epilogue.py:_cls_tail): final-fixup CxC conv +
-    # cosine classifier at full 224^2 resolution
-    classify_macs = CROPS * HW_FULL * (C_OUT * C_OUT + C_OUT * q)
+    # cosine classifier at the final stage's grid (224^2 at stages=4)
+    hw_cls = STAGE_HW[stages - 1]
+    classify_macs = CROPS * hw_cls * (C_OUT * C_OUT + C_OUT * q)
     # diagnostic: the kernel pads Q to 128 lanes; the hardware actually does
-    classify_macs_padded = CROPS * HW_FULL * (C_OUT * C_OUT + C_OUT * 128)
+    classify_macs_padded = CROPS * hw_cls * (C_OUT * C_OUT + C_OUT * 128)
 
     # VPU-side work that is material but not MXU-eligible (not in MFU):
     # softmax + spatial product + normalise over the 121 taps (~6 ops/tap),
     # L2 normalise of C channels, bilinear stitch/resize adds
-    vpu_flops = CROPS * (stage_px_total * DD * 6 + HW_FULL * C_OUT * 3)
+    vpu_flops = CROPS * (stage_px_total * DD * 6 + hw_cls * C_OUT * 3)
 
     g = 1e-9
     return {
@@ -123,9 +127,9 @@ def flops_512_image(q: int = 6) -> dict:
     }
 
 
-def mfu_pct(tiles_per_sec: float, q: int = 6) -> float:
+def mfu_pct(tiles_per_sec: float, q: int = 6, stages: int = 4) -> float:
     """Whole-pipeline MFU (%) at a measured 512^2-tiles/s headline."""
-    total_tflop = flops_512_image(q)["total"] / 1e3
+    total_tflop = flops_512_image(q, stages)["total"] / 1e3
     return 100.0 * tiles_per_sec * total_tflop / PEAK_BF16_TFLOPS
 
 

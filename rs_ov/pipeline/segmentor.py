@@ -257,6 +257,18 @@ class SegmentorEx:
         # ---- SimFeatUp upsampler ----
         self.apply_sim_feat_up = apply_sim_feat_up
         self.upsampler_name = (sim_feat_up_cfg or {}).get("model_name", "jbu_one")
+        # opt-in fast mode: fewer x2 JBU stages; the per-tile logit resize
+        # (always present, _decontam_and_classify tail) covers the remaining
+        # factor on the cheap Q-channel logits. Default 4 = reference
+        # semantics (reference simfeatup_dev/upsamplers.py:304-325 is a
+        # fixed 4-stage 16x). Quality at stages<4 must be certified against
+        # real weights (benchmarks/PERF.md); env RS_OV_JBU_STAGES overrides
+        # for A/B runs.
+        self.jbu_stages = int(os.environ.get(
+            "RS_OV_JBU_STAGES",
+            (sim_feat_up_cfg or {}).get("num_stages", 4)))
+        if not 1 <= self.jbu_stages <= 4:
+            raise ValueError(f"jbu stages must be in [1, 4], got {self.jbu_stages}")
         self.upsampler_params = None
         self._upsample_fn_nhwc = None
         self._upsample_classify_nhwc = None
@@ -264,10 +276,12 @@ class SegmentorEx:
             from rs_ov.upsample.jbu import get_upsampler_nhwc, get_upsampler_nhwc_classify
 
             self.feat_dim = self.cfg.embed_dim
-            fwd, init = get_upsampler(self.upsampler_name)
+            fwd, init = get_upsampler(self.upsampler_name, stages=self.jbu_stages)
             self._upsample_fn = fwd
-            self._upsample_fn_nhwc = get_upsampler_nhwc(self.upsampler_name)
-            self._upsample_classify_nhwc = get_upsampler_nhwc_classify(self.upsampler_name)
+            self._upsample_fn_nhwc = get_upsampler_nhwc(
+                self.upsampler_name, stages=self.jbu_stages)
+            self._upsample_classify_nhwc = get_upsampler_nhwc_classify(
+                self.upsampler_name, stages=self.jbu_stages)
             model_path = (sim_feat_up_cfg or {}).get("model_path")
             if upsampler_params is not None:
                 self.upsampler_params = cast_floating(upsampler_params, param_dtype)

@@ -321,14 +321,20 @@ def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
 def jbu_one_forward_nhwc_classify(p: dict, source: jnp.ndarray,
                                   guidance_cf: jnp.ndarray,
                                   query_features: jnp.ndarray,
-                                  radius: int = 5) -> jnp.ndarray:
+                                  radius: int = 5,
+                                  stages: int = 4) -> jnp.ndarray:
     """JBUOne channel-last with the classifier fused into the last stage:
     source [B, h, w, C] + guidance [B, 3, GH, GW] + queries [Q, C]
-    -> [B, 16h, 16w, Q] fp32 cosine logits."""
+    -> [B, 2^stages h, 2^stages w, Q] fp32 cosine logits.
+
+    stages < 4 is the opt-in fast mode: classify at the reduced grid and let
+    the caller's existing bilinear logit resize cover the remaining factor
+    (smooth Q-channel logits upsample far cheaper than 512-channel features).
+    """
     from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
 
     x = source
-    for _ in range(3):
+    for _ in range(stages - 1):
         h, w = x.shape[1], x.shape[2]
         small_guidance = _pool(guidance_cf, (h * 2, w * 2))
         x = jbu_module_forward_nhwc(p["up"], x, small_guidance, radius)
@@ -341,12 +347,15 @@ def jbu_one_forward_nhwc_classify(p: dict, source: jnp.ndarray,
 def jbu_stack_forward_nhwc_classify(p: dict, source: jnp.ndarray,
                                     guidance_cf: jnp.ndarray,
                                     query_features: jnp.ndarray,
-                                    radius: int = 3) -> jnp.ndarray:
-    """JBUStack channel-last with the fused classifier tail."""
+                                    radius: int = 3,
+                                    stages: int = 4) -> jnp.ndarray:
+    """JBUStack channel-last with the fused classifier tail. stages < 4 uses
+    the first stages-1 stack modules plus the LAST module (trained for the
+    final scale) for the classify stage."""
     from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
 
     x = source
-    for stage in range(3):
+    for stage in range(stages - 1):
         h, w = x.shape[1], x.shape[2]
         small_guidance = _pool(guidance_cf, (h * 2, w * 2))
         x = jbu_module_forward_nhwc(p["ups"][stage], x, small_guidance, radius)
@@ -356,14 +365,16 @@ def jbu_stack_forward_nhwc_classify(p: dict, source: jnp.ndarray,
         p["ups"][3], x, small_guidance, p["final_fixup"], query_features, radius)
 
 
-def get_upsampler_nhwc_classify(name: str):
+def get_upsampler_nhwc_classify(name: str, stages: int = 4):
     """Channel-last forward with the classifier fused into the final JBU
     stage, else None. forward(params, source [B,h,w,C], guidance_cf
     [B,3,GH,GW], query_features [Q,C]) -> [B,GH,GW,Q] fp32 logits."""
     if name == "jbu_one":
-        return lambda p, s, g, qf: jbu_one_forward_nhwc_classify(p, s, g, qf, radius=5)
+        return lambda p, s, g, qf: jbu_one_forward_nhwc_classify(
+            p, s, g, qf, radius=5, stages=stages)
     if name == "jbu_stack":
-        return lambda p, s, g, qf: jbu_stack_forward_nhwc_classify(p, s, g, qf, radius=3)
+        return lambda p, s, g, qf: jbu_stack_forward_nhwc_classify(
+            p, s, g, qf, radius=3, stages=stages)
     return None
 
 
@@ -379,13 +390,13 @@ def _final_fixup_nhwc(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def jbu_one_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
-                         radius: int = 5) -> jnp.ndarray:
+                         radius: int = 5, stages: int = 4) -> jnp.ndarray:
     """JBUOne channel-last: source [B, h, w, C], guidance [B, 3, GH, GW]
-    -> [B, 16h, 16w, C]."""
+    -> [B, 2^stages h, 2^stages w, C]."""
     from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
 
     x = source
-    for _ in range(4):
+    for _ in range(stages):
         h, w = x.shape[1], x.shape[2]
         small_guidance = _pool(guidance_cf, (h * 2, w * 2))
         x = jbu_module_forward_nhwc(p["up"], x, small_guidance, radius)
@@ -393,34 +404,34 @@ def jbu_one_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
 
 
 def jbu_stack_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
-                           radius: int = 3) -> jnp.ndarray:
+                           radius: int = 3, stages: int = 4) -> jnp.ndarray:
     """JBUStack channel-last (four distinct radius-3 modules)."""
     from rs_ov.utils.resize import adaptive_avg_pool2d as _pool
 
     x = source
-    for stage in range(4):
+    for stage in range(stages):
         h, w = x.shape[1], x.shape[2]
         small_guidance = _pool(guidance_cf, (h * 2, w * 2))
         x = jbu_module_forward_nhwc(p["ups"][stage], x, small_guidance, radius)
     return _final_fixup_nhwc(x, p["final_fixup"])
 
 
-def get_upsampler_nhwc(name: str):
+def get_upsampler_nhwc(name: str, stages: int = 4):
     """Channel-last forward for upsamplers that support it, else None.
 
     forward(params, source [B,h,w,C], guidance_cf [B,3,GH,GW]) -> [B,GH,GW,C].
     Only used on the TPU bf16 path (the Pallas epilogue requires bf16)."""
     if name == "jbu_one":
-        return lambda p, s, g: jbu_one_forward_nhwc(p, s, g, radius=5)
+        return lambda p, s, g: jbu_one_forward_nhwc(p, s, g, radius=5, stages=stages)
     if name == "jbu_stack":
-        return lambda p, s, g: jbu_stack_forward_nhwc(p, s, g, radius=3)
+        return lambda p, s, g: jbu_stack_forward_nhwc(p, s, g, radius=3, stages=stages)
     return None
 
 
-def _staged_upsample(source, guidance, step_fn):
-    """4 x2 stages, guidance adaptively pooled to each target size."""
+def _staged_upsample(source, guidance, step_fn, stages: int = 4):
+    """stages x2 steps, guidance adaptively pooled to each target size."""
     x = source
-    for stage in range(4):
+    for stage in range(stages):
         _, _, h, w = x.shape
         small_guidance = adaptive_avg_pool2d(guidance, (h * 2, w * 2))
         x = step_fn(stage, x, small_guidance)
@@ -428,18 +439,20 @@ def _staged_upsample(source, guidance, step_fn):
 
 
 def jbu_one_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
-                    radius: int = 5) -> jnp.ndarray:
+                    radius: int = 5, stages: int = 4) -> jnp.ndarray:
     """JBUOne: one shared module applied 4x (reference :304-325)."""
     out = _staged_upsample(source, guidance,
-                           lambda _s, x, g: jbu_module_forward(p["up"], x, g, radius))
+                           lambda _s, x, g: jbu_module_forward(p["up"], x, g, radius),
+                           stages)
     return _final_fixup(out, p["final_fixup"])
 
 
 def jbu_stack_forward(p: dict, source: jnp.ndarray, guidance: jnp.ndarray,
-                      radius: int = 3) -> jnp.ndarray:
+                      radius: int = 3, stages: int = 4) -> jnp.ndarray:
     """JBUStack: four distinct radius-3 modules (reference :278-301)."""
     out = _staged_upsample(source, guidance,
-                           lambda s, x, g: jbu_module_forward(p["ups"][s], x, g, radius))
+                           lambda s, x, g: jbu_module_forward(p["ups"][s], x, g, radius),
+                           stages)
     return _final_fixup(out, p["final_fixup"])
 
 
@@ -503,18 +516,21 @@ def init_jbu_stack_params(key, feat_dim: int, guidance_dim: int = 3,
     }
 
 
-def get_upsampler(name: str):
+def get_upsampler(name: str, stages: int = 4):
     """Registry (reference get_upsampler :353-369). Returns (forward, init).
 
-    forward(params, source, guidance) -> upsampled features.
+    forward(params, source, guidance) -> upsampled features. ``stages`` < 4
+    (jbu_one/jbu_stack only) is the opt-in reduced-stage fast mode; the
+    output is then guidance_size / 2^(4-stages) and the caller is expected
+    to bilinear-resize its (cheap, Q-channel) logits the rest of the way.
     """
     if name == "bilinear":
         return bilinear_upsample, lambda key, dim, dtype=jnp.float32: {}
     if name == "jbu_one":
-        return (lambda p, s, g: jbu_one_forward(p, s, g, radius=5),
+        return (lambda p, s, g: jbu_one_forward(p, s, g, radius=5, stages=stages),
                 lambda key, dim, dtype=jnp.float32: init_jbu_one_params(key, dim, dtype=dtype))
     if name == "jbu_stack":
-        return (lambda p, s, g: jbu_stack_forward(p, s, g, radius=3),
+        return (lambda p, s, g: jbu_stack_forward(p, s, g, radius=3, stages=stages),
                 lambda key, dim, dtype=jnp.float32: init_jbu_stack_params(key, dim, dtype=dtype))
     if name == "resize_conv":
         from rs_ov.upsample.alternates import init_resize_conv_params, resize_conv_forward
