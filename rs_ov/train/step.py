@@ -77,7 +77,8 @@ def encode_text_train(params: dict, text_ids: jnp.ndarray, cfg: CLIPConfig,
 
 
 def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = True,
-                         compute_dtype=None, loss: str = "clip"):
+                         compute_dtype=None, loss: str = "clip",
+                         accum_steps: int = 1):
     """Build (train_step, init_opt_state). Inputs shard over 'data'; params
     shard per clip_param_shardings over 'model'. Returns a jitted step:
         params, opt_state, images, texts -> (params, opt_state, loss)
@@ -91,10 +92,21 @@ def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = Tr
     (LayerNorm stays fp32 — nn/layers.layer_norm; the contrastive loss,
     embedding L2-norms and logit_scale stay fp32 at the encoders' output
     casts). Gradients come back fp32 through the cast.
+
+    accum_steps>1 is gradient accumulation with FULL-BATCH negatives
+    (open_clip's --accum-freq semantics): a no-grad pass caches all
+    micro-batch embeddings, then each micro-batch is re-encoded with grad,
+    spliced into the cached feature matrix, and the full-batch loss is
+    differentiated — per-micro grads carry only that micro-batch's feature
+    path, so their SUM is exactly the full-batch gradient (a lax.scan holds
+    one micro-batch of activations live at a time). The logit_scale /
+    logit_bias path is gradient-gated to micro-step 0 so it is counted
+    once, not accum_steps times. The global batch must divide accum_steps
+    (and the micro-batch should divide the 'data' mesh axis).
     """
     optimizer = optimizer or optax.adamw(1e-5)
 
-    def loss_fn(params, images, texts):
+    def encode_pair(params, images, texts):
         cparams = params
         if compute_dtype is not None:
             from rs_ov.core.params import cast_floating
@@ -102,14 +114,61 @@ def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = Tr
             images = images.astype(compute_dtype)
         img_f = encode_image_train(cparams, images, cfg, remat=remat)
         txt_f = encode_text_train(cparams, texts, cfg, remat=remat)
+        return img_f, txt_f
+
+    def full_loss(params, img_f, txt_f, live_scale_path):
         # scale from the MASTER tree: exp in fp32
         scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+        scale = jnp.where(live_scale_path, scale, jax.lax.stop_gradient(scale))
         if loss == "siglip":
-            return siglip_loss(img_f, txt_f, scale,
-                               params["logit_bias"].astype(jnp.float32))
+            bias = params["logit_bias"].astype(jnp.float32)
+            bias = jnp.where(live_scale_path, bias, jax.lax.stop_gradient(bias))
+            return siglip_loss(img_f, txt_f, scale, bias)
         return clip_loss(img_f, txt_f, scale)
 
+    def loss_fn(params, images, texts):
+        img_f, txt_f = encode_pair(params, images, texts)
+        return full_loss(params, img_f, txt_f, jnp.bool_(True))
+
+    def train_step_accum(params, opt_state, images, texts):
+        b = images.shape[0]
+        mb = b // accum_steps
+        im = images.reshape((accum_steps, mb) + images.shape[1:])
+        tx = texts.reshape((accum_steps, mb) + texts.shape[1:])
+
+        # pass 1: cache every micro-batch's embeddings, no grad
+        def enc(_, xt):
+            return None, encode_pair(params, *xt)
+        _, (img_all, txt_all) = jax.lax.scan(enc, None, (im, tx))
+        img_all = jax.lax.stop_gradient(img_all)  # [accum, mb, D] fp32
+        txt_all = jax.lax.stop_gradient(txt_all)
+
+        d = img_all.shape[-1]
+
+        def loss_i(params, i, images_i, texts_i):
+            f_i, t_i = encode_pair(params, images_i, texts_i)
+            ia = jax.lax.dynamic_update_index_in_dim(img_all, f_i, i, 0)
+            ta = jax.lax.dynamic_update_index_in_dim(txt_all, t_i, i, 0)
+            return full_loss(params, ia.reshape(b, d), ta.reshape(b, d), i == 0)
+
+        # pass 2: re-encode each micro-batch with grad against the cache;
+        # sum of per-micro grads == the exact full-batch gradient
+        def accum_body(gsum, xt):
+            i, images_i, texts_i = xt
+            l, g = jax.value_and_grad(loss_i)(params, i, images_i, texts_i)
+            return jax.tree.map(jnp.add, gsum, g), l
+
+        gzero = jax.tree.map(jnp.zeros_like, params)
+        grads, losses = jax.lax.scan(
+            accum_body, gzero, (jnp.arange(accum_steps), im, tx))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # every micro-step evaluates the SAME full-batch loss
+        return params, opt_state, losses[0]
+
     def train_step(params, opt_state, images, texts):
+        if accum_steps > 1:
+            return train_step_accum(params, opt_state, images, texts)
         loss, grads = jax.value_and_grad(loss_fn)(params, images, texts)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

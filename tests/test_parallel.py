@@ -262,3 +262,48 @@ def test_mixed_precision_train_step():
         p16, o16, l16 = step16(p16, o16, images, texts)
         losses.append(float(l16))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("loss_name", ["clip", "siglip"])
+def test_grad_accumulation_matches_full_batch(loss_name):
+    """accum_steps=2 (feature-cache + per-micro regrad, open_clip
+    --accum-freq semantics) must produce the SAME optimizer step as the
+    plain full-batch step — including logit_scale/logit_bias, whose grad
+    path is gated to micro-step 0 so it isn't counted twice."""
+    import optax
+
+    mesh = make_mesh(data=4, model=2)
+    params = init_clip_params(jax.random.PRNGKey(1), TINY)
+    if loss_name == "siglip":
+        params = dict(params, logit_bias=jnp.asarray(-2.0, jnp.float32))
+    # sgd(1.0): updated params = params - grads, so the assert compares RAW
+    # gradients (adam would amplify fp32 summation-order noise on ~0 grads
+    # into sign-level update differences)
+    opt = optax.sgd(1.0)
+    step1, init_opt = make_clip_train_step(TINY, mesh, optimizer=opt,
+                                           loss=loss_name)
+    step2, _ = make_clip_train_step(TINY, mesh, optimizer=opt,
+                                    loss=loss_name, accum_steps=2)
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    texts = np.zeros((8, 16), np.int32)
+    for i in range(8):
+        n = rng.randint(3, 16)
+        texts[i, :n] = rng.randint(1, 127, size=n)
+        texts[i, n - 1] = 127
+    texts = jnp.asarray(texts)
+
+    sp = shard_params(params, mesh)
+    p1, _, l1 = step1(sp, init_opt(params), images, texts)
+    p2, _, l2 = step2(sp, init_opt(params), images, texts)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    g1 = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), params, p1)
+    g2 = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b), params, p2)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for k, v1 in jax.tree_util.tree_leaves_with_path(g1):
+        np.testing.assert_allclose(
+            v1, flat2[jax.tree_util.keystr(k)], rtol=1e-4, atol=1e-6,
+            err_msg=f"grad {jax.tree_util.keystr(k)} diverged under accum")

@@ -59,3 +59,13 @@ def test_manifest_formats(tmp_path):
 def test_requires_data_or_synthetic():
     with pytest.raises(SystemExit):
         train_cli.main(["--steps", "1"])
+
+
+def test_accum_freq_smoke(tmp_path):
+    """--accum-freq 2: global batch split into 2 micro-batches per step."""
+    train_cli.main(["--model", "ViT-B-32", "--tiny", "--synthetic",
+                    "--steps", "2", "--batch-size", "8", "--accum-freq", "2",
+                    "--mesh", "4,1", "--log-every", "1",
+                    "--precision", "fp32",
+                    "--ckpt-dir", str(tmp_path / "ck")])
+    assert os.path.exists(tmp_path / "ck" / "step_2.npz")

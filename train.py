@@ -46,6 +46,11 @@ def parse_args(argv=None):
     ap.add_argument("--wd", type=float, default=0.2)
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--loss", choices=("clip", "siglip"), default="clip")
+    ap.add_argument("--accum-freq", type=int, default=1,
+                    help="gradient accumulation with full-batch negatives "
+                         "(open_clip --accum-freq semantics): --batch-size "
+                         "is the GLOBAL batch, split into this many "
+                         "micro-batches per optimizer step")
     ap.add_argument("--precision", choices=("fp32", "bf16"), default="bf16")
     ap.add_argument("--mesh", default="",
                     help="'DP,TP' mesh shape (default: all devices on data)")
@@ -184,10 +189,13 @@ def main(argv=None):
         schedule, weight_decay=args.wd,
         mask=lambda params: jax.tree_util.tree_map(
             lambda p: getattr(p, "ndim", 0) >= 2, params))
+    if args.batch_size % args.accum_freq:
+        sys.exit(f"--accum-freq {args.accum_freq} must divide "
+                 f"--batch-size {args.batch_size}")
     step_fn, init_opt = make_clip_train_step(
         cfg, mesh, optimizer=optimizer,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None,
-        loss=args.loss)
+        loss=args.loss, accum_steps=args.accum_freq)
     opt_state = init_opt(params)
     if args.loss == "siglip":
         inner_step = step_fn
