@@ -69,3 +69,12 @@ def test_accum_freq_smoke(tmp_path):
                     "--precision", "fp32",
                     "--ckpt-dir", str(tmp_path / "ck")])
     assert os.path.exists(tmp_path / "ck" / "step_2.npz")
+
+
+def test_grad_clip_norm_smoke(tmp_path):
+    train_cli.main(["--model", "ViT-B-32", "--tiny", "--synthetic",
+                    "--steps", "2", "--batch-size", "4", "--mesh", "2,1",
+                    "--grad-clip-norm", "1.0", "--log-every", "1",
+                    "--precision", "fp32",
+                    "--ckpt-dir", str(tmp_path / "ck")])
+    assert os.path.exists(tmp_path / "ck" / "step_2.npz")

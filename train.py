@@ -46,6 +46,9 @@ def parse_args(argv=None):
     ap.add_argument("--wd", type=float, default=0.2)
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--loss", choices=("clip", "siglip"), default="clip")
+    ap.add_argument("--grad-clip-norm", type=float, default=None,
+                    help="clip raw gradients to this global L2 norm before "
+                         "the optimizer step (open_clip --grad-clip-norm)")
     ap.add_argument("--accum-freq", type=int, default=1,
                     help="gradient accumulation with full-batch negatives "
                          "(open_clip --accum-freq semantics): --batch-size "
@@ -189,6 +192,11 @@ def main(argv=None):
         schedule, weight_decay=args.wd,
         mask=lambda params: jax.tree_util.tree_map(
             lambda p: getattr(p, "ndim", 0) >= 2, params))
+    if args.grad_clip_norm:
+        # clip BEFORE adamw, on the raw global grad norm (open_clip clips
+        # raw grads via torch clip_grad_norm_ before optimizer.step)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(args.grad_clip_norm), optimizer)
     if args.batch_size % args.accum_freq:
         sys.exit(f"--accum-freq {args.accum_freq} must divide "
                  f"--batch-size {args.batch_size}")
