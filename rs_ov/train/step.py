@@ -24,7 +24,8 @@ from rs_ov.text.encoder import causal_mask
 from rs_ov.parallel.sharding import clip_param_shardings
 from rs_ov.train.losses import clip_loss, siglip_loss
 
-__all__ = ["encode_image_train", "encode_text_train", "make_clip_train_step"]
+__all__ = ["encode_image_train", "encode_text_train", "make_clip_train_step",
+           "make_coca_train_step"]
 
 
 def _run_blocks(x, blocks, heads, act, mask=None, remat=True):
@@ -184,6 +185,64 @@ def make_clip_train_step(cfg: CLIPConfig, mesh, optimizer=None, remat: bool = Tr
                 lambda s: NamedSharding(mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
             # built once — rebuilding jax.jit per call would recompile per step
+            state["compiled"] = jax.jit(
+                train_step,
+                in_shardings=(param_spec, None, data_spec, data_spec),
+                out_shardings=(param_spec, None, None),
+            )
+        return state["compiled"](params, opt_state, images, texts)
+
+    return jit_step, optimizer.init
+
+
+def make_coca_train_step(cfg, mesh, optimizer=None, compute_dtype=None,
+                         caption_weight: float = 2.0, clip_weight: float = 1.0):
+    """CoCa training step: contrastive + caption cross-entropy
+    (reference open_clip/loss.py:134-177 over coca_model.py:157-186).
+
+    Data-parallel over 'data' with replicated params — the reference's CoCa
+    trains under torch DDP, which this mirrors; the CLIP tower's megatron
+    shardings don't cover the multimodal decoder's cross-attention blocks.
+    Returns (jitted step, init_opt): params, opt_state, images, texts ->
+    (params, opt_state, (contrastive, caption)).
+    """
+    import optax as _optax
+
+    from rs_ov.nn.coca import coca_forward
+    from rs_ov.train.losses import coca_loss
+
+    optimizer = optimizer or _optax.adamw(1e-5)
+
+    def loss_fn(params, images, texts):
+        cparams = params
+        if compute_dtype is not None:
+            from rs_ov.core.params import cast_floating
+            cparams = cast_floating(params, compute_dtype)
+            images = images.astype(compute_dtype)
+        out = coca_forward(cparams, images, texts, cfg)
+        scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+        contrastive, caption = coca_loss(
+            out["image_features"].astype(jnp.float32),
+            out["text_features"].astype(jnp.float32),
+            out["logits"], out["labels"], scale,
+            caption_weight=caption_weight, clip_weight=clip_weight,
+            pad_id=cfg.pad_id)
+        return contrastive + caption, (contrastive, caption)
+
+    def train_step(params, opt_state, images, texts):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, texts)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, parts
+
+    data_spec = NamedSharding(mesh, P("data"))
+    state = {"compiled": None}
+
+    def jit_step(params, opt_state, images, texts):
+        if state["compiled"] is None:
+            param_spec = jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), params)
             state["compiled"] = jax.jit(
                 train_step,
                 in_shardings=(param_spec, None, data_spec, data_spec),
