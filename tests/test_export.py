@@ -53,3 +53,25 @@ def test_export_rejects_garbage(tmp_path):
     p.write_bytes(b"not an artifact")
     with pytest.raises(ValueError, match="not an rs_ov export"):
         load_predict(str(p))
+
+
+def test_export_fast_mode_program(tmp_path):
+    """A reduced-stage (fast mode) segmentor exports and serves the same
+    contract — the serving artifact composes with the deployment knobs."""
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    seg = SegmentorEx(clip_type="CLIP", vit_type="ViT-B/16",
+                      model_type="ClearCLIP", name_path=str(cls),
+                      clip_config=TINY, param_dtype=jnp.float32,
+                      slide_stride=32, slide_crop=64,
+                      apply_sim_feat_up=True,
+                      sim_feat_up_cfg={"model_name": "jbu_one",
+                                       "num_stages": 2})
+    path = str(tmp_path / "fast.rsov")
+    export_predict(seg, (64, 64), path)
+    fn = load_predict(path)
+    img = np.random.RandomState(1).randint(0, 256, (64, 64, 3), np.uint8)
+    live = np.asarray(
+        seg.predict_raw(img[None], [{"ori_shape": (64, 64)}])[0]
+        ["pred_sem_seg"])
+    np.testing.assert_array_equal(live, np.asarray(fn(img)["pred_sem_seg"]))
