@@ -29,15 +29,37 @@ def preprocess_image(img_rgb: np.ndarray) -> np.ndarray:
 
 
 def load_image(path: str) -> np.ndarray:
+    """Decoded [H, W, 3] uint8 RGB — native libpng/libjpeg decoder when the
+    C++ helper is built (rs_ov/native/decode.cpp), PIL otherwise (and for
+    anything the native path refuses: 16-bit PNGs, exotic color types)."""
+    from rs_ov import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    rgb = native.decode_rgb(data)
+    if rgb is not None:
+        return rgb
+    import io
+
     from PIL import Image
-    return np.asarray(Image.open(path).convert("RGB"))
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 
 def load_annotation(path: str, reduce_zero_label: bool = False,
                     ignore_index: int = 255) -> np.ndarray:
     """Load a label map with mmseg's reduce_zero_label semantics."""
-    from PIL import Image
-    label = np.asarray(Image.open(path)).astype(np.int64)
+    from rs_ov import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    label = native.decode_gray(data)
+    if label is not None:
+        label = label.astype(np.int64)
+    else:
+        import io
+
+        from PIL import Image
+        label = np.asarray(Image.open(io.BytesIO(data))).astype(np.int64)
     if label.ndim == 3:
         label = label[..., 0]
     if reduce_zero_label:

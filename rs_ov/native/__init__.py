@@ -13,10 +13,12 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "normalize_hwc_to_chw", "extract_tiles_chw", "available"]
+__all__ = ["get_lib", "normalize_hwc_to_chw", "extract_tiles_chw", "available",
+           "decode_rgb", "decode_gray", "decode_available"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "preprocess.cpp")
+_DECODE_SRC = os.path.join(_DIR, "decode.cpp")
 _LIB = os.path.join(_DIR, "_libpreprocess.so")
 _lock = threading.Lock()
 _lib = None
@@ -24,13 +26,18 @@ _tried = False
 
 
 def _build() -> str | None:
-    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
-    except Exception:
-        return None
+    base = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17"]
+    # preferred: preprocess + image decode (needs libpng/libjpeg to link);
+    # fallback: preprocess alone (decode_* then degrade to PIL)
+    for srcs, libs in (([_SRC, _DECODE_SRC], ["-lpng", "-ljpeg"]),
+                       ([_SRC], [])):
+        try:
+            subprocess.run(base + srcs + ["-o", _LIB] + libs,
+                           check=True, capture_output=True, timeout=120)
+            return _LIB
+        except Exception:
+            continue
+    return None
 
 
 def get_lib():
@@ -39,8 +46,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        newest_src = max(os.path.getmtime(s) for s in (_SRC, _DECODE_SRC)
+                         if os.path.exists(s))
         path = _LIB if os.path.exists(_LIB) and \
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC) else _build()
+            os.path.getmtime(_LIB) >= newest_src else _build()
         if path is None:
             return None
         lib = ctypes.CDLL(path)
@@ -52,6 +61,13 @@ def get_lib():
         lib.normalize_hwc_to_chw_f32.argtypes = [f32p, f32p, i64, i64, f32p, f32p]
         lib.extract_tiles_chw.argtypes = [f32p, f32p, i64, i64, i64, i64p,
                                           i64, i64, i64]
+        if hasattr(lib, "decode_header"):
+            i64pp = ctypes.POINTER(ctypes.c_int64)
+            for fname in ("decode_header", "decode_rgb", "decode_gray"):
+                fn = getattr(lib, fname)
+                fn.argtypes = ([u8p, i64, i64pp, i64pp] if fname ==
+                               "decode_header" else [u8p, i64, u8p, i64pp, i64pp])
+                fn.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -103,3 +119,45 @@ def extract_tiles_chw(img: np.ndarray, coords) -> np.ndarray:
                           coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                           t, th, tw)
     return out
+
+
+def decode_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "decode_header")
+
+
+def _u8ptr(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _decode(data: bytes, gray: bool):
+    """bytes -> [H, W(, 3)] uint8, or None (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "decode_header"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    if lib.decode_header(_u8ptr(buf), buf.size,
+                         ctypes.byref(h), ctypes.byref(w)) < 0:
+        return None
+    shape = (h.value, w.value) if gray else (h.value, w.value, 3)
+    out = np.empty(shape, np.uint8)
+    fn = lib.decode_gray if gray else lib.decode_rgb
+    if fn(_u8ptr(buf), buf.size, _u8ptr(out),
+          ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None  # -2: 16-bit / exotic color type -> PIL path
+    return out
+
+
+def decode_rgb(data: bytes):
+    """Encoded PNG/JPEG bytes -> [H, W, 3] uint8 RGB, or None for the PIL
+    fallback (unknown format, 16-bit PNG, decode error)."""
+    return _decode(data, gray=False)
+
+
+def decode_gray(data: bytes):
+    """Encoded PNG/JPEG bytes -> [H, W] uint8 labels (palette PNGs keep raw
+    indices, RGB-coded labels collapse to channel 0 — the PIL-path label
+    semantics), or None for the PIL fallback."""
+    return _decode(data, gray=True)
