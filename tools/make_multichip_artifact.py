@@ -108,6 +108,11 @@ def main() -> int:
 
     from eval_all import CONFIGS
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_synthetic_datasets import ensure_synthetic_data
+
+    ensure_synthetic_data()  # only 5/17 synthetic datasets are committed
+
     configs = CONFIGS[:args.configs] if args.configs else CONFIGS
     assert len(jax.devices()) >= 8, jax.devices()
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))

@@ -91,3 +91,19 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def ensure_synthetic_data(root: str | None = None) -> None:
+    """Regenerate any missing synthetic datasets under ``root`` (default
+    <repo>/data_synth). Only 5 of the 17 are committed; tools that eval all
+    configs call this instead of failing on a fresh checkout."""
+    import subprocess
+    import sys as _sys
+
+    root = root or os.path.join(REPO, "data_synth")
+    probe = os.path.join(root, "payload", "datasets", "LoveDA")
+    if os.path.isdir(probe):
+        return
+    subprocess.run(
+        [_sys.executable, os.path.abspath(__file__), "--root", root],
+        check=True, timeout=600)
