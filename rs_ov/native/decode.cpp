@@ -119,6 +119,12 @@ int decode_png(const uint8_t* buf, int64_t n, uint8_t* dst, int64_t* h,
   }
 
   if (mode == 1 && out_ch > 1) {
+    if (passes > 1) {
+      // ADAM7 passes merge in place per row; a single scratch row would
+      // mix rows. Rare (no converter writes interlaced) -> PIL fallback.
+      png_destroy_read_struct(&png, &info, nullptr);
+      return -2;
+    }
     // RGB(A)-coded labels: decode rows to scratch, keep channel 0
     png_bytep row = new png_byte[rowbytes];
     for (int p = 0; p < passes; ++p) {
