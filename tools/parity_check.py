@@ -114,8 +114,8 @@ def build_towers(checkpoint: str | None):
     ups.AdaptiveConv = _Shim
 
     if checkpoint:
-        from rs_ov.core.checkpoint import load_torch_state_dict
-        from rs_ov.core.config import infer_clip_config_from_state_dict
+        from rs_ov.core.checkpoint import (infer_clip_config_from_state_dict,
+                                           load_torch_state_dict)
 
         sd_np = load_torch_state_dict(checkpoint)
         cfg = infer_clip_config_from_state_dict(sd_np, quick_gelu=True)
