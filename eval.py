@@ -29,6 +29,9 @@ def parse_args():
     parser.add_argument("--checkpoint", default=None, help="CLIP torch checkpoint path")
     parser.add_argument("--upsampler-checkpoint", default=None,
                         help="SimFeatUp checkpoint path")
+    parser.add_argument("--jbu-stages", type=int, default=None,
+                        help="opt-in reduced-stage JBU fast mode (default 4 "
+                             "= reference semantics; see benchmarks/PERF.md)")
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--shard", default="0/1", help="rank/world for dataset sharding")
     parser.add_argument("--merge", default=None, metavar="DIST_DIR",
@@ -64,9 +67,12 @@ def main():
     if args.checkpoint:
         overrides["checkpoint_path"] = args.checkpoint
     if args.upsampler_checkpoint:
-        overrides.setdefault("sim_feat_up_cfg", {})
         overrides["sim_feat_up_cfg"] = {"model_name": "jbu_one",
                                         "model_path": args.upsampler_checkpoint}
+    if args.jbu_stages is not None:
+        cfg = dict(overrides.get("sim_feat_up_cfg") or {"model_name": "jbu_one"})
+        cfg["num_stages"] = args.jbu_stages
+        overrides["sim_feat_up_cfg"] = cfg
 
     results = run_eval(args.config, work_dir=args.work_dir, shard=(rank, world),
                        max_samples=args.max_samples, model_overrides=overrides,

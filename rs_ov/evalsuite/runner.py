@@ -35,7 +35,14 @@ def build_segmentor_from_config(cfg: dict, overrides: Optional[dict] = None,
     for k in _MODEL_KEY_DROP:
         model_cfg.pop(k, None)
     if overrides:
-        model_cfg.update(overrides)
+        for k, v in overrides.items():
+            # dict-valued overrides merge one level (e.g. a --jbu-stages
+            # num_stages override must not drop the config's sim_feat_up
+            # model_path)
+            if isinstance(v, dict) and isinstance(model_cfg.get(k), dict):
+                model_cfg[k] = {**model_cfg[k], **v}
+            else:
+                model_cfg[k] = v
     name_path = model_cfg.get("name_path", "")
     if name_path and not os.path.exists(name_path):
         # reference configs use paths relative to the repo root

@@ -303,3 +303,25 @@ def test_shape_bucketing(tmp_path):
         assert np.asarray(r["pred_sem_seg"]).shape == (1,) + shape
     heavy = [k for k in bucketed._jit_cache if k[0] == "bucket"]
     assert heavy == [("bucket", 96, 96, False)]
+
+
+def test_jbu_stages_cli_override_merges(tmp_path, monkeypatch):
+    """eval.py --jbu-stages merges into the config's sim_feat_up_cfg
+    instead of clobbering its model_path (runner one-level dict merge)."""
+    from rs_ov.evalsuite.runner import build_segmentor_from_config
+
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    cfg = {"model": dict(
+        type="SegmentorEx", clip_type="CLIP", vit_type="ViT-B/16",
+        model_type="ClearCLIP", name_path=str(cls),
+        apply_sim_feat_up=True,
+        sim_feat_up_cfg={"model_name": "jbu_one",
+                         "model_path": "/nonexistent/w.ckpt"},
+    )}
+    seg = build_segmentor_from_config(
+        cfg, {"clip_config": TINY, "param_dtype": jnp.float32,
+              "slide_stride": 32, "slide_crop": 64,
+              "sim_feat_up_cfg": {"num_stages": 2}})
+    assert seg.jbu_stages == 2
+    assert seg.upsampler_name == "jbu_one"
