@@ -141,13 +141,15 @@ def main() -> int:
         print(f"[{name}] agreement={entry['agreement']:.4f} "
               f"mIoU {r4['mIoU']:.2f} vs {rf['mIoU']:.2f} "
               f"({entry['sec']:.0f}s)", flush=True)
+        # flush partials each config: a tunnel drop mid-run keeps the
+        # completed rows
+        ag = [c["agreement"] for c in out["configs"].values()]
+        out["mean_agreement"] = round(float(np.mean(ag)), 6)
+        out["elapsed_sec"] = round(time.time() - t0, 1)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
-    ag = [c["agreement"] for c in out["configs"].values()]
-    out["mean_agreement"] = round(float(np.mean(ag)), 6) if ag else None
-    out["elapsed_sec"] = round(time.time() - t0, 1)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"wrote {args.out}; mean agreement {out['mean_agreement']}")
+    print(f"wrote {args.out}; mean agreement {out.get('mean_agreement')}")
     return 0
 
 
