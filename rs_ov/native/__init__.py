@@ -132,6 +132,8 @@ def _u8ptr(arr):
 
 def _decode(data: bytes, gray: bool):
     """bytes -> [H, W(, 3)] uint8, or None (caller falls back to PIL)."""
+    if os.environ.get("RS_OV_NATIVE_DECODE", "1") == "0":  # kill-switch
+        return None
     lib = get_lib()
     if lib is None or not hasattr(lib, "decode_header"):
         return None
