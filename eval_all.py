@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--work-dir", default="work_dirs/all")
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--jbu-stages", type=int, default=None,
+                        help="opt-in reduced-stage JBU fast mode (see eval.py)")
     parser.add_argument("--json-out", default=None,
                         help="also write the summary dict to this file")
     args = parser.parse_args()
@@ -43,6 +45,8 @@ def main():
     from rs_ov.evalsuite.runner import run_eval
 
     overrides = {"checkpoint_path": args.checkpoint} if args.checkpoint else {}
+    if args.jbu_stages is not None:
+        overrides["sim_feat_up_cfg"] = {"num_stages": args.jbu_stages}
     summary = {}
     for config in CONFIGS:
         print(f"Running {config}", flush=True)

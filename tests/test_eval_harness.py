@@ -325,3 +325,25 @@ def test_jbu_stages_cli_override_merges(tmp_path, monkeypatch):
               "sim_feat_up_cfg": {"num_stages": 2}})
     assert seg.jbu_stages == 2
     assert seg.upsampler_name == "jbu_one"
+
+
+def test_eval_all_cli_smoke(tmp_path, monkeypatch, capsys):
+    """eval_all loops configs, honors --jbu-stages, reports per-config
+    failures without stopping (reference eval_all.py:24-27 ignores exit
+    codes; here failures are captured per row)."""
+    import sys as _sys
+
+    import eval_all
+
+    cfg_py = tmp_path / "cfg_tiny.py"
+    cfg_py.write_text(f"_base_ = ['{os.path.abspath('configs/base_config.py')}']\n")
+    # a config whose dataset is missing must produce an error row, not a crash
+    monkeypatch.setattr(eval_all, "CONFIGS", [str(cfg_py)])
+    monkeypatch.setattr(_sys, "argv",
+                        ["eval_all.py", "--work-dir", str(tmp_path / "w"),
+                         "--jbu-stages", "3",
+                         "--json-out", str(tmp_path / "s.json")])
+    eval_all.main()
+    s = json.loads((tmp_path / "s.json").read_text())
+    assert str(cfg_py) in s
+    assert "error" in s[str(cfg_py)] or "mIoU" in s[str(cfg_py)]
