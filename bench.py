@@ -276,10 +276,12 @@ def main() -> None:
         # no live measurement (e.g. the tunnel outage observed 2026-08-17
         # lasted hours): attach the last committed driver-format artifact,
         # clearly labeled — "value" stays 0 so the scoreboard is honest
-        committed = os.path.join(REPO, "benchmarks", "bench_r2.json")
-        if os.path.exists(committed):
+        import glob
+        committed = sorted(glob.glob(os.path.join(REPO, "benchmarks",
+                                                  "bench_r*.json")))
+        if committed:
             try:
-                with open(committed) as f:
+                with open(committed[-1]) as f:
                     result["last_good_committed"] = json.load(f)
             except (OSError, json.JSONDecodeError):
                 pass

@@ -221,6 +221,13 @@ def _final_fixup(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 # full-size [B,C,H,W]<->[B,H,W,C] passes per stage disappear.
 # ---------------------------------------------------------------------------
 
+def _pallas_interpret() -> bool:
+    """Pallas lowers natively only on TPU; RS_OV_PALLAS_INTERPRET=1 runs the
+    production NHWC kernel path in interpret mode so it can be exercised
+    end-to-end on the CPU test platform (tests/test_parity_jbu_realweights)."""
+    return os.environ.get("RS_OV_PALLAS_INTERPRET", "0") == "1"
+
+
 def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarray,
                             radius: int) -> jnp.ndarray:
     """One JBU step, channel-last: source [B, h, w, C] + guidance [B, 3, GH, GW]
@@ -251,11 +258,13 @@ def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarr
             hr, proj, guidance_cf,
             _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
             pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
-            fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter)
+            fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter,
+            interpret=_pallas_interpret())
 
     proj = _proj2(guidance_cf, p["range_proj"]).astype(jnp.float32)
     proj_padded = reflect_pad_2d(proj, radius)
-    logits = range_logits_pallas(proj_padded, proj, diameter)
+    logits = range_logits_pallas(proj_padded, proj, diameter,
+                                 interpret=_pallas_interpret())
 
     hr = resize_bicubic_nhwc(source, (gh, gw))
     hr_padded = reflect_pad_nhwc(hr, radius)
@@ -265,7 +274,8 @@ def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarr
         _spatial_kernel(diameter, p["sigma_spatial"]).reshape(-1),
         pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
         fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter, nhwc=True,
-        slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0")
+        slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0",
+        interpret=_pallas_interpret())
 
 
 def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
@@ -299,11 +309,12 @@ def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
             pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
             fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"],
             final_fixup["w"].reshape(c, c), final_fixup["b"],
-            query_features, diameter)
+            query_features, diameter, interpret=_pallas_interpret())
 
     proj = _proj2(guidance_cf, p["range_proj"]).astype(jnp.float32)
     proj_padded = reflect_pad_2d(proj, radius)
-    logits = range_logits_pallas(proj_padded, proj, diameter)
+    logits = range_logits_pallas(proj_padded, proj, diameter,
+                                 interpret=_pallas_interpret())
 
     hr = resize_bicubic_nhwc(source, (gh, gw))
     hr_padded = reflect_pad_nhwc(hr, radius)
@@ -315,7 +326,8 @@ def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
         fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"],
         final_fixup["w"].reshape(c, c), final_fixup["b"],
         query_features, diameter,
-        slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0")
+        slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0",
+        interpret=_pallas_interpret())
 
 
 def jbu_one_forward_nhwc_classify(p: dict, source: jnp.ndarray,

@@ -39,7 +39,8 @@ SLOW_TEST_MODULES = {
     "test_kernels_epilogue.py",
     "test_parallel.py", "test_parity_fullsize.py", "test_parity_gem.py",
     "test_timm_towers.py", "test_train_cli.py",
-    "test_parity_jbu.py", "test_parity_vit.py", "test_resnet_losses.py",
+    "test_parity_jbu.py", "test_parity_jbu_realweights.py",
+    "test_parity_vit.py", "test_resnet_losses.py",
     "test_upsampler_alternates.py",
 }
 

@@ -82,4 +82,4 @@ def test_failure_attaches_last_committed_artifact(monkeypatch, capsys):
     parsed, _ = _run_main(monkeypatch, capsys, [None, None, None])
     assert parsed["value"] == 0.0
     lg = parsed.get("last_good_committed")
-    assert lg and lg["value"] > 0  # benchmarks/bench_r2.json
+    assert lg and lg["value"] > 0  # newest benchmarks/bench_r*.json

@@ -36,6 +36,11 @@ def main() -> int:
                     help="fast-mode stage count to compare against 4")
     ap.add_argument("--cpu", action="store_true",
                     help="CPU + tiny arch (smoke; default real TPU, full size)")
+    ap.add_argument("--jbu-stack-ckpt", default=None,
+                    help="path to a REAL trained jbu_stack checkpoint (the "
+                         "reference ships two in simfeatup_dev/weights/); "
+                         "runs the A/B with trained upsampler weights "
+                         "instead of random init")
     ap.add_argument("-o", "--out",
                     default=os.path.join(REPO, "benchmarks",
                                          "fastmode_agreement.json"))
@@ -86,7 +91,12 @@ def main() -> int:
                     "artifact; real-weights mIoU A/B is the quality gate)"),
            "backend": jax.default_backend(),
            "model": "tiny" if args.cpu else "ViT-B/16",
-           "stages_fast": args.stages, "configs": {}}
+           "stages_fast": args.stages,
+           "upsampler": ({"model_name": "jbu_stack",
+                          "trained_ckpt": args.jbu_stack_ckpt}
+                         if args.jbu_stack_ckpt else
+                         {"model_name": "jbu_one", "weights": "random init"}),
+           "configs": {}}
 
     t0 = time.time()
     for cfg_path in configs:
@@ -105,11 +115,18 @@ def main() -> int:
         dataset = SegDataset(ds_cfg["type"], prefix["img_path"],
                              prefix.get("seg_map_path"), meta=meta, raw=True)
 
-        seg4 = build_segmentor_from_config(cfg, overrides)
+        base_sfu = {"model_name": "jbu_one"}
+        if args.jbu_stack_ckpt:
+            base_sfu = {"model_name": "jbu_stack",
+                        "model_path": args.jbu_stack_ckpt}
+            seg4_overrides = dict(overrides, sim_feat_up_cfg=base_sfu)
+        else:
+            seg4_overrides = overrides
+        seg4 = build_segmentor_from_config(cfg, seg4_overrides)
         segf = build_segmentor_from_config(
             cfg, dict(overrides,
-                      sim_feat_up_cfg={"model_name": "jbu_one",
-                                       "num_stages": args.stages}))
+                      sim_feat_up_cfg=dict(base_sfu,
+                                           num_stages=args.stages)))
 
         m4 = IoUMetric(num_classes=len(meta.classes),
                        ignore_index=meta.ignore_index)

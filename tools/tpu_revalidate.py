@@ -5,8 +5,9 @@ Runs, in order, each as a subprocess with its own deadline:
   1. a minimal device probe (fail fast if the tunnel is still dead),
   2. demo.py (the verify surface: full pipeline, random weights),
   3. bench.py twice (warm the persistent compile cache, then measure),
-and, if the measured value beats the committed benchmarks/bench_r2.json,
-rewrites that artifact so README/PERF/bench agree on ONE number.
+and, if the measured value beats the newest committed
+benchmarks/bench_r*.json, rewrites that artifact so README/PERF/bench
+agree on ONE number.
 
 Usage: python tools/tpu_revalidate.py [--skip-demo]
 """
@@ -20,7 +21,16 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(REPO, "benchmarks", "bench_r2.json")
+
+
+def _newest_artifact() -> str:
+    import glob
+    found = sorted(glob.glob(os.path.join(REPO, "benchmarks", "bench_r*.json")))
+    return found[-1] if found else os.path.join(REPO, "benchmarks",
+                                                "bench_r3.json")
+
+
+ARTIFACT = _newest_artifact()
 
 
 def run(cmd, deadline, name):
