@@ -277,8 +277,10 @@ def main() -> None:
         # lasted hours): attach the last committed driver-format artifact,
         # clearly labeled — "value" stays 0 so the scoreboard is honest
         import glob
-        committed = sorted(glob.glob(os.path.join(REPO, "benchmarks",
-                                                  "bench_r*.json")))
+        import re
+        committed = sorted(
+            glob.glob(os.path.join(REPO, "benchmarks", "bench_r*.json")),
+            key=lambda p: int(re.search(r"bench_r(\d+)", p).group(1)))
         if committed:
             try:
                 with open(committed[-1]) as f:

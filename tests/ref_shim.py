@@ -5,10 +5,18 @@ so we materialise a minimal fake ``open_clip`` package exposing only the
 pieces the parity tests need (utils.to_2tuple, pos_embed, transformer). The
 reference code itself is executed read-only from /root/reference — nothing is
 copied into this repo.
+
+The fake package is installed into ``sys.modules`` only WHILE a reference
+module executes, then every ``open_clip*`` entry is restored to its prior
+state (round-3 VERDICT: the permanent install shadowed this repo's real
+``open_clip`` facade and made plain ``pytest tests/`` order-dependent).
+Loaded reference modules are cached in ``_loaded`` and keep working
+afterwards because their name bindings were resolved at exec time.
 """
 
 from __future__ import annotations
 
+import contextlib
 import importlib.util
 import itertools
 import collections.abc
@@ -35,12 +43,20 @@ def _to_2tuple(x):
 _loaded = {}
 
 
-def load_reference_transformer():
-    """Returns the reference open_clip.transformer module (torch)."""
-    if "transformer" in _loaded:
-        return _loaded["transformer"]
-    if "open_clip" not in sys.modules or not getattr(
-            sys.modules.get("open_clip"), "_rs_ov_fake", False):
+@contextlib.contextmanager
+def _fake_open_clip():
+    """Temporarily install the minimal fake open_clip package.
+
+    Saves every existing ``open_clip*`` sys.modules entry (e.g. this repo's
+    real facade), installs the fake plus any already-loaded reference
+    submodules, and restores the original state on exit — so a later
+    ``import open_clip`` anywhere else still gets the real facade.
+    """
+    saved = {k: sys.modules[k] for k in list(sys.modules)
+             if k == "open_clip" or k.startswith("open_clip.")}
+    for k in saved:
+        del sys.modules[k]
+    try:
         pkg = types.ModuleType("open_clip")
         pkg.__path__ = [f"{REF}/open_clip"]
         pkg._rs_ov_fake = True
@@ -49,8 +65,26 @@ def load_reference_transformer():
         utils.to_2tuple = _to_2tuple
         utils.freeze_batch_norm_2d = lambda *a, **k: None  # torchvision-free stub
         sys.modules["open_clip.utils"] = utils
-        _load_as("open_clip.pos_embed", f"{REF}/open_clip/pos_embed.py")
-    mod = _load_as("open_clip.transformer", f"{REF}/open_clip/transformer.py")
+        if "pos_embed" not in _loaded:
+            _loaded["pos_embed"] = _load_as(
+                "open_clip.pos_embed", f"{REF}/open_clip/pos_embed.py")
+        sys.modules["open_clip.pos_embed"] = _loaded["pos_embed"]
+        if "transformer" in _loaded:  # gem_utils does `from open_clip.transformer import …`
+            sys.modules["open_clip.transformer"] = _loaded["transformer"]
+        yield
+    finally:
+        for k in list(sys.modules):
+            if k == "open_clip" or k.startswith("open_clip."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def load_reference_transformer():
+    """Returns the reference open_clip.transformer module (torch)."""
+    if "transformer" in _loaded:
+        return _loaded["transformer"]
+    with _fake_open_clip():
+        mod = _load_as("open_clip.transformer", f"{REF}/open_clip/transformer.py")
     _loaded["transformer"] = mod
     return mod
 
@@ -61,12 +95,14 @@ def load_reference_module(name: str):
         return _loaded[name]
     if name in ("gem_utils",):
         load_reference_transformer()  # gem_utils imports open_clip.transformer
-        mod = _load_as(name, f"{REF}/gem/{name}.py")
+        with _fake_open_clip():
+            mod = _load_as(name, f"{REF}/gem/{name}.py")
     elif name == "upsamplers":
         mod = _load_as("ref_upsamplers", f"{REF}/simfeatup_dev/upsamplers.py")
     elif name in ("modified_resnet", "loss"):
-        load_reference_transformer()  # ensures the fake open_clip pkg exists
-        mod = _load_as(f"open_clip.{name}", f"{REF}/open_clip/{name}.py")
+        load_reference_transformer()
+        with _fake_open_clip():
+            mod = _load_as(f"open_clip.{name}", f"{REF}/open_clip/{name}.py")
     else:
         mod = _load_as(f"ref_{name}", f"{REF}/{name}.py")
     _loaded[name] = mod

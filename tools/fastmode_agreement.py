@@ -46,6 +46,11 @@ def main() -> int:
                                          "fastmode_agreement.json"))
     args = ap.parse_args()
 
+    if args.cpu and args.jbu_stack_ckpt:
+        ap.error("--cpu uses the tiny embed_dim=32 tower, which cannot "
+                 "consume a production-width jbu_stack checkpoint; drop "
+                 "--cpu (real TPU) or --jbu-stack-ckpt (random init)")
+
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.setdefault("RS_OV_NO_COMPILE_CACHE", "1")

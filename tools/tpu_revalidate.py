@@ -25,9 +25,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _newest_artifact() -> str:
     import glob
-    found = sorted(glob.glob(os.path.join(REPO, "benchmarks", "bench_r*.json")))
-    return found[-1] if found else os.path.join(REPO, "benchmarks",
-                                                "bench_r3.json")
+    import re
+    found = sorted(
+        glob.glob(os.path.join(REPO, "benchmarks", "bench_r*.json")),
+        key=lambda p: int(re.search(r"bench_r(\d+)", p).group(1)))
+    if not found:
+        raise SystemExit(
+            "[revalidate] no benchmarks/bench_r*.json exists — run bench.py "
+            "and commit its artifact first; refusing to invent a round number")
+    return found[-1]
 
 
 ARTIFACT = _newest_artifact()
