@@ -260,36 +260,105 @@ def preprocess_style(model_name: str, pretrained_tag: str | None = None):
             (0.26862954, 0.26130258, 0.27577711), "bicubic", "shortest")
 
 
-def image_transform(image_size: int = 224, is_train: bool = False,
-                    mean=None, std=None, interpolation: str = "bicubic",
-                    resize_mode: str = "shortest"):
-    """Inference preprocessing closure (reference transform.py:274-389:
-    resize -> center crop -> normalize). resize_mode 'shortest' scales the
-    short side then center-crops; 'squash' resizes straight to (S, S).
-    Returns a numpy HWC-uint8 -> CHW-float32 callable."""
+def center_crop_or_pad(x, output_size, fill: float = 0.0):
+    """Center crop, padding first if the image is smaller than the crop
+    along any edge (reference transform.py:167-204 center_crop_or_pad,
+    same split-the-difference padding and round-half crop origin)."""
     import numpy as np
 
-    from rs_ov.utils.resize import resize_bicubic, resize_bilinear
+    ch, cw = output_size
+    h, w = x.shape[:2]
+    if cw > w or ch > h:
+        left = (cw - w) // 2 if cw > w else 0
+        right = (cw - w + 1) // 2 if cw > w else 0
+        top = (ch - h) // 2 if ch > h else 0
+        bottom = (ch - h + 1) // 2 if ch > h else 0
+        x = np.pad(x, ((top, bottom), (left, right)) + ((0, 0),) * (x.ndim - 2),
+                   constant_values=fill)
+        h, w = x.shape[:2]
+        if cw == w and ch == h:
+            return x
+    # torchvision F.center_crop origin: int(round((size - crop) / 2.0))
+    top, left = int(round((h - ch) / 2.0)), int(round((w - cw) / 2.0))
+    return x[top:top + ch, left:left + cw]
 
-    assert not is_train, "training augmentation is out of scope for eval"
+
+def image_transform(image_size=224, is_train: bool = False,
+                    mean=None, std=None, interpolation: str = "bicubic",
+                    resize_mode: str = "shortest", fill_color: int = 0,
+                    aug_cfg=None):
+    """Preprocessing closure (reference transform.py:274-389).
+
+    Inference: resize -> center crop (or crop-or-pad) -> normalize, with the
+    reference's three resize modes —
+      'shortest': scale the short side to the target (torchvision scalar
+                  Resize semantics: long side = int(size * long / short)),
+                  then plain center crop;
+      'longest':  ResizeKeepRatio(longest=1) — scale so the image FITS the
+                  target box, then CenterCropOrPad with `fill_color`
+                  (reference transform.py:84-236);
+      'squash':   resize straight to (H, W).
+    Resizing happens on the uint8 image via PIL — exactly what torchvision's
+    transforms do for PIL inputs — so outputs match the reference pipeline
+    bit-for-bit before normalization.
+
+    Training (`is_train=True`): the reference's AugmentationCfg branch
+    (transform.py:300-358), delegated to rs_ov.data.augment.
+
+    Returns a numpy HWC-uint8 -> CHW-float32 callable. `image_size` may be
+    an int or an (H, W) tuple."""
+    import numpy as np
+
+    size = tuple(image_size) if isinstance(image_size, (tuple, list)) \
+        else (int(image_size), int(image_size))
+    if is_train:
+        from rs_ov.data.augment import AugmentationCfg, build_train_transform
+
+        if isinstance(aug_cfg, dict):
+            aug_cfg = AugmentationCfg(**aug_cfg)
+        assert size[0] == size[1], "train aug expects a square target"
+        return build_train_transform(size[0], aug_cfg, mean=mean, std=std)
+
+    assert resize_mode in ("shortest", "longest", "squash"), resize_mode
     mean = np.asarray(mean if mean is not None else
                       (0.48145466, 0.4578275, 0.40821073), np.float32)
     std = np.asarray(std if std is not None else
                      (0.26862954, 0.26130258, 0.27577711), np.float32)
-    resize = resize_bilinear if interpolation == "bilinear" else resize_bicubic
+
+    def _resize(img, hw):
+        from PIL import Image
+
+        pil_mode = Image.BILINEAR if interpolation == "bilinear" \
+            else Image.BICUBIC
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return np.asarray(Image.fromarray(img).resize(hw[::-1], pil_mode))
 
     def transform(img_hwc):
-        x = np.asarray(img_hwc).astype(np.float32) / 255.0
+        x = np.asarray(img_hwc)
+        if x.ndim == 2:
+            x = np.repeat(x[..., None], 3, axis=-1)
         h, w = x.shape[:2]
+        th, tw = size
         if resize_mode == "squash":
-            x = np.asarray(resize(jnp.asarray(x.transpose(2, 0, 1)),
-                                  (image_size, image_size)))
-        else:
-            scale = image_size / min(h, w)
-            nh, nw = round(h * scale), round(w * scale)
-            x = np.asarray(resize(jnp.asarray(x.transpose(2, 0, 1)), (nh, nw)))
-            top, left = (nh - image_size) // 2, (nw - image_size) // 2
-            x = x[:, top:top + image_size, left:left + image_size]
+            x = _resize(x, (th, tw))
+        elif resize_mode == "longest":
+            ratio = max(h / th, w / tw)
+            x = _resize(x, (round(h / ratio), round(w / ratio)))
+            x = center_crop_or_pad(x, (th, tw), fill=fill_color)
+        else:  # shortest
+            if th == tw:
+                # torchvision scalar-Resize: short side -> size, long side
+                # int-truncated (NOT rounded)
+                short, long = (h, w) if h <= w else (w, h)
+                ns, nl = th, int(th * long / short)
+                x = _resize(x, (ns, nl) if h <= w else (nl, ns))
+            else:
+                ratio = min(h / th, w / tw)  # ResizeKeepRatio longest=0
+                x = _resize(x, (round(h / ratio), round(w / ratio)))
+            x = center_crop_or_pad(x, (th, tw))
+        x = x.astype(np.float32) / 255.0
+        x = x.transpose(2, 0, 1)
         return (x - mean[:, None, None]) / std[:, None, None]
 
     return transform
