@@ -54,6 +54,16 @@ class VitCallConfig:
     apply_outlier_suppression: bool = False
     outlier_top_k: int = 10
     contamination_temp: float = 0.1
+    # attention source layers for outlier detection / self-attn enhancement.
+    # () = reference default: the last front block, i.e. global layer
+    # n_layers - last_n_layers - 1 (transformer.py:609's hardcoded capture;
+    # set_outlier_suppressor's None default resolves to layers-2, the same
+    # block when last_n_layers == 1). Non-empty = the generalized
+    # set_outlier_suppressor(suppression_layers=[...]) surface
+    # (transformer.py:446-469): capture the head-averaged attention of each
+    # listed global layer (negative indices allowed) and use their MEAN as
+    # the detection map.
+    outlier_source_layers: tuple = ()
     # self-attention enhancement (reference self_attention_enhancement.py)
     apply_self_attn_enhancement: bool = False
     self_attn_strength: float = 0.1
@@ -159,9 +169,20 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
     # is enabled; production configs enable both, so parity is unaffected.
     capture_attn = (call.apply_outlier_suppression or call.apply_self_attn_enhancement) \
         and not call.apply_layer_fusion
+    # resolve the detection-source layer set (global indices)
+    if call.outlier_source_layers:
+        src_layers = tuple(sorted({i if i >= 0 else n_layers + i
+                                   for i in call.outlier_source_layers}))
+        assert all(0 <= i < n_layers for i in src_layers), \
+            (call.outlier_source_layers, n_layers)
+    else:
+        src_layers = (n_front - 1,)
+    front_src = tuple(i for i in src_layers if i < n_front)
+    tail_src = tuple(i for i in src_layers if i >= n_front)
 
     mid_features = None
-    attn_weights = None  # head-averaged [B, L, L] from penultimate front block
+    captured = []        # head-averaged [B, L, L] maps from src_layers
+    attn_weights = None  # their mean (single-layer default: that layer's map)
     attn_acc = None      # layer-fusion EMA accumulator
 
     if not call.apply_layer_fusion and n_front > 1:
@@ -175,29 +196,31 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *blocks[:n_front])
 
+        need_front_w = capture_attn and bool(front_src)
+
         def scan_body(x, blk):
             x_new, w_attn = _resblock(blk, x, heads, act,
-                                      need_weights=capture_attn)
+                                      need_weights=need_front_w)
             ys = (x_new if need_mid else jnp.zeros((), x_new.dtype),
-                  w_attn if capture_attn else jnp.zeros((), jnp.float32))
+                  w_attn if need_front_w else jnp.zeros((), jnp.float32))
             return x_new, ys
 
         x, (xs_stack, ws_stack) = jax.lax.scan(scan_body, x, stacked)
         if need_mid:
             mid_features = x_embed if mid_idx == 0 else xs_stack[mid_idx - 1]
-        if capture_attn:
-            attn_weights = ws_stack[n_front - 1]
+        if need_front_w:
+            captured.extend(ws_stack[i] for i in front_src)
     else:
         for idx in range(n_front):
             if idx == mid_idx and call.apply_similarity_enhancement:
                 mid_features = x
-            need_w = call.apply_layer_fusion or (capture_attn and idx == n_front - 1)
+            need_w = call.apply_layer_fusion or (capture_attn and idx in front_src)
             x, w_attn = _resblock(blocks[idx], x, heads, act, need_weights=need_w)
             if call.apply_layer_fusion:
                 attn_acc = fuse_attention_ema(attn_acc, w_attn,
                                               call.layer_fusion_lambda)
             elif need_w:
-                attn_weights = w_attn
+                captured.append(w_attn)
 
     sim_map = None
     if call.apply_similarity_enhancement and mid_features is not None:
@@ -232,9 +255,16 @@ def vit_forward(p: dict, images: jnp.ndarray, vcfg: VisionConfig,
             x_out = x_out + mlp(layer_norm(x_out, blk["ln_2"]), blk["mlp"], act=act)
             output = output + x_out
         # the ordinary stream continues through the full block either way
-        x, w_attn = _resblock(blk, x, heads, act, need_weights=call.apply_layer_fusion)
+        need_w = call.apply_layer_fusion or (capture_attn and (n_front + i) in tail_src)
+        x, w_attn = _resblock(blk, x, heads, act, need_weights=need_w)
         if call.apply_layer_fusion:
             attn_acc = fuse_attention_ema(attn_acc, w_attn, call.layer_fusion_lambda)
+        elif need_w:
+            captured.append(w_attn)
+
+    if captured:
+        attn_weights = captured[0] if len(captured) == 1 \
+            else sum(captured) / len(captured)
 
     if call.apply_som and qk_attn is not None:
         from rs_ov.decontam.som import suppress_outlier_module

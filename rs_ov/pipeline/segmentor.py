@@ -187,7 +187,10 @@ class SegmentorEx:
         # ---- static call config for the ViT ----
         sim_cfg = dict(similarity_weight=1.0, temperature=1.0, add_self_similarity=True)
         sim_cfg.update(similarity_enhancement_cfg or {})
-        out_cfg = dict(top_k=10, contamination_temp=0.1)
+        # suppression_layers: the reference set_outlier_suppressor surface
+        # (transformer.py:446-469) — global layer indices (negatives OK)
+        # whose attention feeds outlier detection; () = penultimate default
+        out_cfg = dict(top_k=10, contamination_temp=0.1, suppression_layers=())
         out_cfg.update(outlier_suppression_cfg or {})
         sa_cfg = dict(enhancement_strength=0.1, min_self_attn_threshold=0.15,
                       mode="feature", top_k=10)
@@ -207,6 +210,7 @@ class SegmentorEx:
             apply_outlier_suppression=apply_outlier_suppression,
             outlier_top_k=out_cfg["top_k"],
             contamination_temp=out_cfg["contamination_temp"],
+            outlier_source_layers=tuple(out_cfg["suppression_layers"]),
             apply_self_attn_enhancement=apply_self_attn_enhancement,
             self_attn_strength=sa_cfg["enhancement_strength"],
             self_attn_threshold=sa_cfg["min_self_attn_threshold"],

@@ -80,6 +80,8 @@ TOL = {  # fp32 max-abs tolerances per stage
     "ctd_debias": 1e-5,
     "xtile:weighted": 5e-5,
     "xtile:attention": 5e-5,
+    "outlier_src:[-2]": 5e-4,
+    "outlier_src:[-2,-3]": 5e-4,
 }
 for _m in ("vanilla", "MaskCLIP", "SCLIP", "SegEarth", "SFP", "Experimental",
            "ClearCLIP", "NACLIP", "NOnly", "GAV"):
@@ -446,6 +448,53 @@ def run(checkpoint: str | None, precision_ab: bool, update_fixtures: bool,
                          apply_outlier_suppression=True, outlier_top_k=top_k)
     pooled, tokens = vit_forward(vparams, jnp.asarray(img_np), cfg.vision, call)
     check("vit_tokens", tokens, tok_t.numpy())
+
+    # 2b - configurable outlier-attention source layers (the reference
+    # set_outlier_suppressor(suppression_layers=...) surface,
+    # transformer.py:446-469). layers=[-2] resolves to the same block the
+    # reference forward hardcodes (transformer.py:609), so it must match the
+    # default-path reference output above.
+    import dataclasses as _dc
+    _, tok_m2 = vit_forward(vparams, jnp.asarray(img_np), cfg.vision,
+                            _dc.replace(call, outlier_source_layers=(-2,)))
+    check("outlier_src:[-2]", tok_m2, tok_t.numpy())
+
+    # layers=[-2,-3]: the reference's forward ignores the stored list, so the
+    # oracle realizes the documented semantics on the reference model itself —
+    # forward-pre-hooks capture each listed block's input, a need_weights
+    # re-run yields that block's head-averaged map, and their MEAN is
+    # substituted at the suppressor consumption point (transformer.py:721-735).
+    n_blk = len(vit_t.transformer.resblocks)
+    hook_in, hooks = {}, []
+    for li in (n_blk - 2, n_blk - 3):
+        hooks.append(vit_t.transformer.resblocks[li].register_forward_pre_hook(
+            lambda mod, args, li=li: hook_in.__setitem__(li, args[0].detach().clone())))
+    with torch.no_grad():
+        vit_t(img_t, model_type="Experimental", ignore_residual=True,
+              output_cls_token=True, apply_similarity_enhancement=True)
+    for h_ in hooks:
+        h_.remove()
+    with torch.no_grad():
+        maps = [vit_t.transformer.resblocks[li](hook_in[li], need_weights=True)[1]
+                for li in (n_blk - 2, n_blk - 3)]
+    attn_mean_t = torch.stack(maps).mean(0)
+    orig_sup = vit_t.outlier_suppressor
+
+    class _SubstituteAttn(torch.nn.Module):
+        top_k = orig_sup.top_k
+
+        def forward(self, feats, attn, gh, gw):
+            return orig_sup(feats, attn_mean_t, gh, gw)
+
+    vit_t.outlier_suppressor = _SubstituteAttn()
+    with torch.no_grad():
+        _, tok_t23 = vit_t(img_t, model_type="Experimental",
+                           ignore_residual=True, output_cls_token=True,
+                           apply_similarity_enhancement=True)
+    vit_t.outlier_suppressor = orig_sup
+    _, tok_m23 = vit_forward(vparams, jnp.asarray(img_np), cfg.vision,
+                             _dc.replace(call, outlier_source_layers=(-2, -3)))
+    check("outlier_src:[-2,-3]", tok_m23, tok_t23.numpy())
 
     # 3 - global debias
     with torch.no_grad():
