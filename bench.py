@@ -10,7 +10,10 @@ unit.
 
 Prints ONE json line to stdout:
   {"metric": "512^2 tiles/sec/chip (ViT-B/16)", "value": N,
-   "unit": "tiles/s", "vs_baseline": N / cpu_reference_tiles_per_sec}
+   "unit": "tiles/s", "vs_baseline": N / cpu_reference_tiles_per_sec,
+   "best": N, "attempts": [...], "spread_pct": N}
+where value = MEDIAN of ATTEMPTS best-of-windows measurements taken in one
+process (variance protocol — the tunnelled chip swings >±20% across runs).
 
 Hostile-environment hardening (round-1 postmortem: BENCH_r01 rc=124 with an
 empty tail; MULTICHIP_r01 libtpu AOT mismatch):
@@ -51,9 +54,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "cpu_reference.json")
 IMG = 512
 # the tunnelled v5e shows large contention noise, which only ever SLOWS a
-# window: report the best of several windows as the chip's capability
+# window: best-of-windows is one attempt's value; the headline is the
+# MEDIAN over ATTEMPTS such measurements with the spread reported
 WINDOWS = 4
 REPEATS = 8
+ATTEMPTS = 3
 METRIC = "512^2 tiles/sec/chip (ViT-B/16)"
 
 _T0 = time.time()
@@ -112,9 +117,10 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cpu_ref = json.load(f)["tiles512_per_sec"]
-    # the FLOPs model follows the JBU stage count so fast-mode runs
-    # (RS_OV_JBU_STAGES<4, opt-in) report honest useful-work MFU
-    jbu_stages = int(os.environ.get("RS_OV_JBU_STAGES", "4"))
+    # the FLOPs model follows the JBU stage count so stage-count overrides
+    # report honest useful-work MFU. Default 3 = the certified fast mode
+    # (the segmentor default; benchmarks/fastmode_agreement_realjbu.json)
+    jbu_stages = int(os.environ.get("RS_OV_JBU_STAGES", "3"))
     try:
         from benchmarks.mfu import flops_512_image, mfu_pct
         gflops_unit = round(flops_512_image(stages=jbu_stages)["total"], 1)
@@ -176,16 +182,33 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
         np.asarray(r["pred_sem_seg"])
         _log("warmup done; timing windows...")
 
-        best = float("inf")
-        for w in range(WINDOWS):
-            t0 = time.perf_counter()
-            for _ in range(REPEATS):
-                r = seg.predict_raw(img, meta)[0]
-            np.asarray(r["pred_sem_seg"])
-            best = min(best, (time.perf_counter() - t0) / REPEATS)
-            update(1.0 / best, None if w == WINDOWS - 1
-                   else f"window {w + 1}/{WINDOWS}")
-            _log(f"window {w + 1}/{WINDOWS}: best so far {1.0 / best:.2f} tiles/s")
+        # variance protocol (round-3 VERDICT): the tunnelled chip swings
+        # >±20% between separate runs, so a single best-of-windows number
+        # is not reproducible. Run ATTEMPTS independent best-of-windows
+        # measurements in THIS process, report their MEDIAN as the headline
+        # and carry best + spread so the artifact is honest about stability.
+        attempt_values = []
+        for a in range(ATTEMPTS):
+            best = float("inf")
+            for w in range(WINDOWS):
+                t0 = time.perf_counter()
+                for _ in range(REPEATS):
+                    r = seg.predict_raw(img, meta)[0]
+                np.asarray(r["pred_sem_seg"])
+                best = min(best, (time.perf_counter() - t0) / REPEATS)
+            attempt_values.append(1.0 / best)
+            med = float(np.median(attempt_values))
+            done = a == ATTEMPTS - 1
+            update(med, None if done else f"attempt {a + 1}/{ATTEMPTS}")
+            with lock:
+                result["best"] = round(max(attempt_values), 4)
+                result["attempts"] = [round(v, 2) for v in attempt_values]
+                result["spread_pct"] = round(
+                    100.0 * (max(attempt_values) - min(attempt_values)) / med, 1)
+            _log(f"attempt {a + 1}/{ATTEMPTS}: {attempt_values[-1]:.2f} tiles/s "
+                 f"(median {med:.2f})")
+            if not done:
+                time.sleep(2)  # let transient contention decorrelate attempts
 
         emit_and_exit(0)
     except BaseException as e:  # noqa: BLE001 — must always emit JSON

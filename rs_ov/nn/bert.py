@@ -6,8 +6,10 @@ by the segmentation pipeline: BLIP_Retrieval calls
 ``text_encoder(ids, attention_mask, mode='text')`` (reference
 blip_retrieval.py / segmentor.py:160-166) which is a plain BERT encoder —
 embeddings (word + position, LayerNorm eps 1e-12) and L post-LN transformer
-layers with separate q/k/v projections. Cross-attention / LM-head branches of
-med.py are decoder-time features out of this pipeline's scope.
+layers with separate q/k/v projections. Passing encoder_hidden_states runs
+the MED 'multimodal' mode (per-layer cross-attention over image tokens,
+reference med.py:358-370 — the BLIP ITM path; see train/blip_retrieval.py).
+LM-head decoder branches of med.py remain out of the pipeline's scope.
 
 Param pytree:
   {'embeddings': {'word': (V, H), 'position': (P, H), 'token_type': (2, H),
@@ -47,13 +49,43 @@ def _split_heads(x, heads):
     return x.reshape(b, l, heads, d // heads).transpose(0, 2, 1, 3)
 
 
+def _mha(q_in, kv_in, names, layer, heads, scale, mask, eps):
+    """One post-LN attention sub-block: project, attend, dense, LN(residual).
+
+    names = (q, k, v, out, ln) key prefixes into `layer`; kv_in is q_in for
+    self-attention, the encoder hidden states for cross-attention
+    (reference med.py BertAttention, is_cross_attention — :358-370)."""
+    qn, kn, vn, on, lnn = names
+    b, lq, h = q_in.shape
+    q = _split_heads(linear(q_in, layer[qn + "_w"], layer[qn + "_b"]), heads)
+    k = _split_heads(linear(kv_in, layer[kn + "_w"], layer[kn + "_b"]), heads)
+    v = _split_heads(linear(kv_in, layer[vn + "_w"], layer[vn + "_b"]), heads)
+    attn = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32),
+                      k.astype(jnp.float32)) * scale + mask
+    attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
+    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    ctx = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h).astype(q_in.dtype)
+    out = linear(ctx, layer[on + "_w"], layer[on + "_b"])
+    return layer_norm(q_in + out, layer[lnn], eps=eps)
+
+
 def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
                 cfg: BertConfig,
-                position_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+                position_ids: jnp.ndarray | None = None,
+                encoder_hidden_states: jnp.ndarray | None = None,
+                encoder_attention_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """input_ids/attention_mask: [B, L] -> last_hidden_state [B, L, H].
 
     position_ids overrides the default 0..L-1 positions (RoBERTa-family
-    towers use pad-offset positions, see nn/hf_text.py)."""
+    towers use pad-offset positions, see nn/hf_text.py).
+
+    encoder_hidden_states [B, Lv, Dv] switches each layer into the MED
+    'multimodal' mode (reference med.py:358-370): self-attention, then
+    cross-attention over the image tokens (q from the text stream, k/v
+    from the encoder states through the layer's 'x*' params), then FFN —
+    the BLIP ITM path. Layers must carry cross params (init_blip_retrieval
+    or a BLIP checkpoint with crossattention weights)."""
     eps = cfg.layer_norm_eps
     emb = p["embeddings"]
     x = emb["word"][input_ids]
@@ -67,21 +99,23 @@ def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
 
     # additive mask: 0 for attend, -inf-ish for padding (HF convention)
     mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+    if encoder_hidden_states is not None:
+        if encoder_attention_mask is None:
+            xmask = jnp.zeros((x.shape[0], 1, 1, encoder_hidden_states.shape[1]),
+                              jnp.float32)
+        else:
+            xmask = (1.0 - encoder_attention_mask.astype(jnp.float32)
+                     )[:, None, None, :] * -10000.0
     heads = cfg.num_heads
     scale = (cfg.hidden_size // heads) ** -0.5
 
     for layer in p["layers"]:
-        q = _split_heads(linear(x, layer["q_w"], layer["q_b"]), heads)
-        k = _split_heads(linear(x, layer["k_w"], layer["k_b"]), heads)
-        v = _split_heads(linear(x, layer["v_w"], layer["v_b"]), heads)
-        attn = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32),
-                          k.astype(jnp.float32)) * scale + mask
-        attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
-        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-        ctx = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(x.shape).astype(x.dtype)
-        attn_out = linear(ctx, layer["attn_out_w"], layer["attn_out_b"])
-        x = layer_norm(x + attn_out, layer["attn_ln"], eps=eps)
+        x = _mha(x, x, ("q", "k", "v", "attn_out", "attn_ln"),
+                 layer, heads, scale, mask, eps)
+        if encoder_hidden_states is not None:
+            x = _mha(x, encoder_hidden_states.astype(x.dtype),
+                     ("xq", "xk", "xv", "x_out", "x_ln"),
+                     layer, heads, scale, xmask, eps)
         inter = gelu(linear(x, layer["inter_w"], layer["inter_b"]))
         out = linear(inter, layer["out_w"], layer["out_b"])
         x = layer_norm(x + out, layer["out_ln"], eps=eps)

@@ -199,7 +199,7 @@ def blip_params_from_state_dict(sd: Mapping[str, np.ndarray],
         text["embeddings"]["token_type"] = a(f"{tp}.embeddings.token_type_embeddings.weight")
     for i in range(n_t):
         pre = f"{tp}.encoder.layer.{i}"
-        text["layers"].append({
+        layer = {
             "q_w": a(f"{pre}.attention.self.query.weight"),
             "q_b": a(f"{pre}.attention.self.query.bias"),
             "k_w": a(f"{pre}.attention.self.key.weight"),
@@ -214,14 +214,35 @@ def blip_params_from_state_dict(sd: Mapping[str, np.ndarray],
             "out_w": a(f"{pre}.output.dense.weight"),
             "out_b": a(f"{pre}.output.dense.bias"),
             "out_ln": ln(f"{pre}.output.LayerNorm"),
-        })
+        }
+        # MED cross-attention weights (reference med.py BertLayer
+        # crossattention — present in retrieval/caption checkpoints)
+        if f"{pre}.crossattention.self.query.weight" in sd:
+            layer.update({
+                "xq_w": a(f"{pre}.crossattention.self.query.weight"),
+                "xq_b": a(f"{pre}.crossattention.self.query.bias"),
+                "xk_w": a(f"{pre}.crossattention.self.key.weight"),
+                "xk_b": a(f"{pre}.crossattention.self.key.bias"),
+                "xv_w": a(f"{pre}.crossattention.self.value.weight"),
+                "xv_b": a(f"{pre}.crossattention.self.value.bias"),
+                "x_out_w": a(f"{pre}.crossattention.output.dense.weight"),
+                "x_out_b": a(f"{pre}.crossattention.output.dense.bias"),
+                "x_ln": ln(f"{pre}.crossattention.output.LayerNorm"),
+            })
+        text["layers"].append(layer)
 
-    return {
+    out = {
         "visual": vis,
         "vision_proj": {"w": a("vision_proj.weight"), "b": a("vision_proj.bias")},
         "text": text,
         "text_proj": {"w": a("text_proj.weight"), "b": a("text_proj.bias")},
     }
+    # retrieval-checkpoint extras (reference blip_retrieval.py:38-68)
+    if "itm_head.weight" in sd:
+        out["itm_head"] = {"w": a("itm_head.weight"), "b": a("itm_head.bias")}
+    if "temp" in sd:
+        out["temp"] = jnp.asarray(np.asarray(sd["temp"]).reshape(()), jnp.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------

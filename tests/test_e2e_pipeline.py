@@ -178,6 +178,7 @@ def test_full_pipeline_parity(towers, cls_file):
         upsampler_params=jbu_params, param_dtype=jnp.float32,
         apply_sim_feat_up=True, apply_similarity_enhancement=True,
         apply_outlier_suppression=False,
+        sim_feat_up_cfg={"num_stages": 4},  # torch oracle is 4-stage
         global_debias_factor=0.2, prob_thd=0.1, bg_idx=2,
         slide_stride=STRIDE, slide_crop=CROP, logit_scale=50.0,
     )
@@ -232,6 +233,7 @@ def test_full_pipeline_with_outlier_suppression(towers, cls_file):
             name_path=cls_file, clip_config=cfg, params=params,
             upsampler_params=jbu_params, param_dtype=jnp.float32,
             apply_sim_feat_up=True, apply_similarity_enhancement=True,
+            sim_feat_up_cfg={"num_stages": 4},  # torch oracle is 4-stage
             apply_outlier_suppression=True, outlier_suppression_cfg={"top_k": 6},
             global_debias_factor=0.2, prob_thd=0.1, bg_idx=2,
             slide_stride=STRIDE, slide_crop=CROP, logit_scale=50.0,

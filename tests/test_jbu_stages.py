@@ -1,9 +1,11 @@
-"""Reduced-stage JBU fast mode (opt-in; default 4 stages = reference
-semantics, simfeatup_dev/upsamplers.py:304-325 is a fixed 4-stage 16x).
+"""Reduced-stage JBU fast mode (default 3 stages since the trained-weights
+certification, benchmarks/fastmode_agreement_realjbu.json; num_stages=4
+restores strict reference semantics, simfeatup_dev/upsamplers.py:304-325 is
+a fixed 4-stage 16x — the LIBRARY functions in upsample/jbu.py keep 4 as
+their default for that reason).
 
 stages<4 classifies at the reduced grid and relies on the segmentor's
-always-present bilinear logit resize for the remaining factor. Quality at
-stages<4 needs real-weights certification (benchmarks/PERF.md); these tests
+always-present bilinear logit resize for the remaining factor. These tests
 pin the mechanics: shapes, default-path invariance, config/env plumbing.
 """
 
@@ -91,7 +93,7 @@ def test_segmentor_fast_mode_same_output_geometry(tmp_path):
     """num_stages=2 keeps the public prediction contract (shape, labels)."""
     img = np.random.RandomState(0).randn(1, 3, 96, 96).astype(np.float32)
     full = _make_segmentor(tmp_path)
-    assert full.jbu_stages == 4
+    assert full.jbu_stages == 3  # certified fast-mode default
     fast = _make_segmentor(tmp_path, sim_feat_up_cfg={"model_name": "jbu_one",
                                                       "num_stages": 2})
     assert fast.jbu_stages == 2
@@ -102,9 +104,9 @@ def test_segmentor_fast_mode_same_output_geometry(tmp_path):
 
 
 def test_segmentor_stages_env_override(tmp_path, monkeypatch):
-    monkeypatch.setenv("RS_OV_JBU_STAGES", "3")
+    monkeypatch.setenv("RS_OV_JBU_STAGES", "4")
     seg = _make_segmentor(tmp_path)
-    assert seg.jbu_stages == 3
+    assert seg.jbu_stages == 4
 
 
 def test_segmentor_stages_validation(tmp_path):

@@ -120,13 +120,14 @@ def main() -> int:
         dataset = SegDataset(ds_cfg["type"], prefix["img_path"],
                              prefix.get("seg_map_path"), meta=meta, raw=True)
 
+        # the baseline side pins num_stages=4 explicitly (strict reference
+        # semantics) — the segmentor default is the certified 3-stage mode
         base_sfu = {"model_name": "jbu_one"}
         if args.jbu_stack_ckpt:
             base_sfu = {"model_name": "jbu_stack",
                         "model_path": args.jbu_stack_ckpt}
-            seg4_overrides = dict(overrides, sim_feat_up_cfg=base_sfu)
-        else:
-            seg4_overrides = overrides
+        seg4_overrides = dict(overrides,
+                              sim_feat_up_cfg=dict(base_sfu, num_stages=4))
         seg4 = build_segmentor_from_config(cfg, seg4_overrides)
         segf = build_segmentor_from_config(
             cfg, dict(overrides,
