@@ -173,12 +173,25 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
         rng = np.random.RandomState(0)
         # the production eval contract: decoded uint8 RGB in, normalisation
         # fused on device (predict_raw — reference-parity with mmengine's
-        # device-side SegDataPreProcessor, and 4x less tunnel upload)
-        img = rng.randint(0, 256, (1, IMG, IMG, 3), dtype=np.uint8)
-        meta = [{"ori_shape": (IMG, IMG)}]
+        # device-side SegDataPreProcessor, and 4x less tunnel upload).
+        # RS_OV_BENCH_BATCH_IMAGES>1 (or bench.py --batch-images N) times the
+        # cross-image batched path instead: N same-geometry images fused into
+        # ONE dispatch over the union [N*16] tile batch (predict_batch_raw)
+        batch_n = max(1, int(os.environ.get("RS_OV_BENCH_BATCH_IMAGES", "1")))
+        img = rng.randint(0, 256, (batch_n, IMG, IMG, 3), dtype=np.uint8)
+        meta = [{"ori_shape": (IMG, IMG)}] * batch_n
+        if batch_n > 1:
+            result["batch_images"] = batch_n
 
-        _log("warmup predict (compiles the fused per-geometry program)...")
-        r = seg.predict_raw(img, meta)[0]
+            def run_once():
+                return seg.predict_batch_raw(img, meta)[-1]
+        else:
+            def run_once():
+                return seg.predict_raw(img, meta)[0]
+
+        _log(f"warmup predict (compiles the fused per-geometry program, "
+             f"batch_images={batch_n})...")
+        r = run_once()
         np.asarray(r["pred_sem_seg"])
         _log("warmup done; timing windows...")
 
@@ -190,12 +203,13 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
         attempt_values = []
         for a in range(ATTEMPTS):
             best = float("inf")
+            reps = max(1, REPEATS // batch_n)
             for w in range(WINDOWS):
                 t0 = time.perf_counter()
-                for _ in range(REPEATS):
-                    r = seg.predict_raw(img, meta)[0]
+                for _ in range(reps):
+                    r = run_once()
                 np.asarray(r["pred_sem_seg"])
-                best = min(best, (time.perf_counter() - t0) / REPEATS)
+                best = min(best, (time.perf_counter() - t0) / (reps * batch_n))
             attempt_values.append(1.0 / best)
             med = float(np.median(attempt_values))
             done = a == ATTEMPTS - 1
@@ -378,6 +392,13 @@ def _measure_cpu_reference() -> None:
 
 
 if __name__ == "__main__":
+    # --batch-images N: measure the cross-image batched path (N same-geometry
+    # 512^2 images fused into one dispatch). Plumbed to the measurement child
+    # via env so the driver's plain `python bench.py` default is untouched.
+    if "--batch-images" in sys.argv:
+        i = sys.argv.index("--batch-images")
+        os.environ["RS_OV_BENCH_BATCH_IMAGES"] = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         _child_main(float(sys.argv[2]),
                     float(sys.argv[3]) if len(sys.argv) > 3 else None)

@@ -33,6 +33,9 @@ def parse_args():
                         help="opt-in reduced-stage JBU fast mode (default 4 "
                              "= reference semantics; see benchmarks/PERF.md)")
     parser.add_argument("--max-samples", type=int, default=None)
+    parser.add_argument("--batch-images", type=int, default=1,
+                        help="fuse N same-shape images into one dispatch "
+                             "(cross-image tile batching)")
     parser.add_argument("--shard", default="0/1", help="rank/world for dataset sharding")
     parser.add_argument("--merge", default=None, metavar="DIST_DIR",
                         help="merge per-rank metric states under DIST_DIR "
@@ -76,7 +79,8 @@ def main():
 
     results = run_eval(args.config, work_dir=args.work_dir, shard=(rank, world),
                        max_samples=args.max_samples, model_overrides=overrides,
-                       save_seg_dir=save_seg_dir, save_heatmap_dir=save_heatmap_dir)
+                       save_seg_dir=save_seg_dir, save_heatmap_dir=save_heatmap_dir,
+                       batch_images=args.batch_images)
     print(json.dumps({k: results[k] for k in
                       ("aAcc", "mIoU", "mAcc", "num_images", "tiles512_per_sec",
                        "tiles512_per_sec_steady") if k in results},

@@ -38,6 +38,8 @@ def main():
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--jbu-stages", type=int, default=None,
                         help="opt-in reduced-stage JBU fast mode (see eval.py)")
+    parser.add_argument("--batch-images", type=int, default=1,
+                        help="cross-image tile batching (see eval.py)")
     parser.add_argument("--json-out", default=None,
                         help="also write the summary dict to this file")
     args = parser.parse_args()
@@ -52,7 +54,8 @@ def main():
         print(f"Running {config}", flush=True)
         try:
             r = run_eval(config, work_dir=args.work_dir,
-                         max_samples=args.max_samples, model_overrides=overrides)
+                         max_samples=args.max_samples, model_overrides=overrides,
+                         batch_images=args.batch_images)
             keys = ("aAcc", "mIoU", "mAcc", "num_images",
                     "tiles512_per_sec", "tiles512_per_sec_steady")
             summary[config] = {k: r[k] for k in keys if k in r}

@@ -61,6 +61,7 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
              save_seg_dir: Optional[str] = None,
              save_heatmap_dir: Optional[str] = None,
              segmentor: Optional[SegmentorEx] = None,
+             batch_images: int = 1,
              verbose: bool = True) -> dict:
     cfg = load_config(config_path)
 
@@ -115,17 +116,42 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
 
     # one-deep software pipeline: enqueue image i's (uint8, device-normalised)
     # upload + compute, then block on image i-1's result — the host-side
-    # metric update overlaps device compute instead of serialising behind it
-    pending = None
-    for i, sample in enumerate(dataset.prefetch()):
-        result = segmentor.predict_raw(sample.img[None], [sample.meta])[0]
-        if pending is not None:
-            consume(pending)
-        pending = (result, sample.seg)
-        if verbose and (i + 1) % 50 == 0:
-            print(f"[eval] {i + 1}/{n} images", flush=True)
-    if pending is not None:
-        consume(pending)
+    # metric update overlaps device compute instead of serialising behind it.
+    # batch_images>1 groups consecutive same-shape images into ONE fused
+    # dispatch (predict_batch_raw: union tile batch — full MXU batches and
+    # even mesh sharding; eval datasets are fixed-size so grouping is total)
+    pending = []
+    done = [0, 0]  # (consumed count, last progress print)
+    buf: list = []
+    buf_key = [None]
+
+    def flush():
+        if not buf:
+            return
+        if len(buf) == 1:
+            results = segmentor.predict_raw(buf[0].img[None], [buf[0].meta])
+        else:
+            results = segmentor.predict_batch_raw(
+                np.stack([s.img for s in buf]), [s.meta for s in buf])
+        while pending:
+            consume(pending.pop(0))
+        pending.extend((r, s.seg) for r, s in zip(results, buf))
+        done[0] += len(buf)
+        buf.clear()
+        if verbose and done[0] - done[1] >= 50:
+            done[1] = done[0]
+            print(f"[eval] {done[0]}/{n} images", flush=True)
+
+    for sample in dataset.prefetch():
+        key = (sample.img.shape,
+               tuple(sample.meta.get("ori_shape", sample.img.shape[:2]))[:2])
+        if buf and (key != buf_key[0] or len(buf) >= max(batch_images, 1)):
+            flush()
+        buf_key[0] = key
+        buf.append(sample)
+    flush()
+    while pending:
+        consume(pending.pop(0))
     elapsed = time.perf_counter() - t0
 
     results = metric.compute()

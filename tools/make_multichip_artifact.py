@@ -98,12 +98,87 @@ def run_config(config_path: str, mesh, tiny: bool) -> dict:
             "state_sum": float(metric.state.sum())}
 
 
+def _device_tile_counts(n_tiles: int, n_devices: int) -> list[int]:
+    """Real (non-padding) tiles per device for a [T]-sharded batch under
+    GSPMD even partitioning (T padded up to shard_size * n_devices)."""
+    shard = -(-n_tiles // n_devices)
+    return [max(0, min(n_tiles - d * shard, shard)) for d in range(n_devices)]
+
+
+def batched_balance_report(config_path: str, mesh, n_images: int,
+                           tiny: bool) -> dict:
+    """Cross-image batching on the mesh: fuse n_images same-shape images into
+    ONE dispatch (predict_batch_raw) and verify predictions equal the
+    single-device per-image path; report per-device REAL tile counts for the
+    single-image vs union batch (the load-balancing claim, VERDICT r3 #5)."""
+    cfg = load_config(config_path)
+    ds_cfg = cfg["test_dataloader"]["dataset"]
+    meta = get_dataset_meta(ds_cfg["type"])
+    prefix = ds_cfg["data_prefix"]
+    dataset = SegDataset(ds_cfg["type"], prefix["img_path"],
+                         prefix.get("seg_map_path"), meta=meta, raw=True)
+
+    overrides: dict = {"param_dtype": jnp.float32}
+    if tiny:
+        overrides.update(clip_config=TINY, slide_stride=32, slide_crop=64)
+    seg_single = build_segmentor_from_config(cfg, overrides)
+    seg_mesh = build_segmentor_from_config(cfg, {**overrides, "mesh": mesh})
+
+    samples = []
+    for s in dataset.prefetch():
+        if not samples or s.img.shape == samples[0].img.shape:
+            samples.append(s)
+        if len(samples) == n_images:
+            break
+
+    from math import gcd
+
+    from rs_ov.pipeline.tiler import tile_grid
+
+    h, w = samples[0].img.shape[:2]
+    coords, _ = tile_grid(h, w, seg_mesh.slide_stride, seg_mesh.slide_crop) \
+        if seg_mesh.slide_crop > 0 else (((0, 0, h, w),), (1, 1))
+    t = len(coords)
+    d = len(mesh.devices.flat)
+    # size the union batch so t*n is a multiple of the device count — every
+    # chip then holds exactly t*n/d REAL tiles (perfect balance). Cycle the
+    # available same-shape images if the dataset has fewer than n.
+    step = d // gcd(t, d)
+    n = max(n_images, step) // step * step
+    samples = [samples[i % len(samples)] for i in range(n)]
+    imgs = np.stack([s.img for s in samples])
+    metas = [s.meta for s in samples]
+
+    batched = seg_mesh.predict_batch_raw(imgs, metas)
+    identical = all(
+        np.array_equal(
+            np.asarray(b["pred_sem_seg"]),
+            np.asarray(seg_single.predict_raw(imgs[i:i + 1],
+                                              metas[i:i + 1])[0]
+                       ["pred_sem_seg"]))
+        for i, b in enumerate(batched))
+
+    single_counts = _device_tile_counts(t, d)
+    union_counts = _device_tile_counts(t * len(samples), d)
+    return {
+        "config": os.path.basename(config_path),
+        "n_images": len(samples), "tiles_per_image": t,
+        "pred_identical_to_single_device_per_image": identical,
+        "tiles_per_device_single_image": single_counts,
+        "tiles_per_device_union_batch": union_counts,
+        "balanced": max(union_counts) - min(union_counts) <= 1,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, default=None,
                     help="limit to first N configs")
     ap.add_argument("--full", action="store_true",
                     help="full-size ViT-B/16 (slow on CPU; default tiny)")
+    ap.add_argument("--batch-images", type=int, default=8,
+                    help="cross-image batch size for the balance report "
+                         "(0 disables)")
     args = ap.parse_args()
 
     from eval_all import CONFIGS
@@ -143,6 +218,19 @@ def main() -> int:
         }
         print(f"[{name}] identical={identical} mIoU {single['mIoU']:.3f} "
               f"({time.time() - t:.0f}s)", flush=True)
+    if args.batch_images > 1:
+        print(f"[cross-image batching] n={args.batch_images} on "
+              f"{configs[0]}", flush=True)
+        rep = batched_balance_report(configs[0], mesh, args.batch_images,
+                                     tiny=not args.full)
+        out["cross_image_batching"] = rep
+        all_ok &= rep["pred_identical_to_single_device_per_image"] \
+            and rep["balanced"]
+        print(f"[cross-image batching] identical="
+              f"{rep['pred_identical_to_single_device_per_image']} "
+              f"union per-device tiles={rep['tiles_per_device_union_batch']} "
+              f"(single-image {rep['tiles_per_device_single_image']})",
+              flush=True)
     out["all_identical"] = all_ok
     out["elapsed_sec"] = round(time.time() - t0, 1)
     path = os.path.join(REPO, "benchmarks", "multichip_eval.json")
