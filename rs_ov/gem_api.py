@@ -18,7 +18,8 @@ from rs_ov.nn.gem import gem_vit_forward
 from rs_ov.text.encoder import text_forward
 from rs_ov.utils.resize import resize_bilinear
 
-__all__ = ["GEMWrapper", "create_gem_model", "get_gem_img_transform"]
+__all__ = ["GEMWrapper", "create_gem_model", "get_gem_img_transform",
+           "visualize"]
 
 
 @dataclasses.dataclass
@@ -103,3 +104,68 @@ def get_gem_img_transform(img_size=(448, 448), mean=None, std=None):
         return (x - mean[:, None, None]) / std[:, None, None]
 
     return transform
+
+
+def visualize(image, text, logits, alpha: float = 0.6,
+              save_path: str | None = None, show: bool = False):
+    """Per-class JET heatmap overlays (reference gem/gem.py:151-189).
+
+    image: HWC uint8 array / PIL image, or CHW float CLIP-normalised tensor
+    (un-normalised like the reference :137-140); logits: [Q, H, W] min-maxed
+    GEM heatmaps (GEMWrapper.forward output). Returns the list of [H, W, 3]
+    uint8 overlays; save_path (a directory or filename prefix) writes
+    ``heatmap_{cls}.png`` per class (:189); show=True additionally displays
+    via matplotlib when available (headless-safe: ImportError is ignored).
+    """
+    import numpy as np
+
+    from rs_ov.data.palette import confidence_heatmap
+
+    logits = np.asarray(logits, np.float32)
+    if logits.ndim > 3:
+        logits = logits[0]
+    h, w = logits.shape[-2:]
+
+    img = np.asarray(getattr(image, "convert", lambda m: image)("RGB"))
+    if img.ndim > 3:
+        img = img[0]
+    if img.ndim == 3 and img.shape[0] == 3 and img.dtype != np.uint8:
+        # CHW CLIP-normalised -> HWC uint8 (reference :137-140)
+        mean = np.asarray((0.48145466, 0.4578275, 0.40821073), np.float32)
+        std = np.asarray((0.26862954, 0.26130258, 0.27577711), np.float32)
+        img = (np.clip(img * std[:, None, None] + mean[:, None, None], 0, 1)
+               .transpose(1, 2, 0) * 255).astype(np.uint8)
+    img = np.asarray(img, np.uint8)
+    if img.shape[:2] != (h, w):
+        img = np.asarray(resize_bilinear(
+            jnp.asarray(img.transpose(2, 0, 1), jnp.float32), (h, w))
+        ).transpose(1, 2, 0).astype(np.uint8)
+
+    overlays = []
+    for q, cls_name in enumerate(text):
+        heat = confidence_heatmap(logits[q])
+        viz = ((1 - alpha) * img + alpha * heat).astype(np.uint8)
+        overlays.append(viz)
+        if save_path is not None:
+            import os
+
+            from PIL import Image
+
+            if os.path.isdir(save_path) or save_path.endswith(os.sep):
+                os.makedirs(save_path, exist_ok=True)
+                out = os.path.join(save_path, f"heatmap_{cls_name}.png")
+            else:
+                out = f"{save_path}heatmap_{cls_name}.png"
+            Image.fromarray(viz).save(out)
+        if show:
+            try:
+                import matplotlib.pyplot as plt
+
+                plt.imshow(viz)
+                plt.title(cls_name)
+                plt.axis("off")
+                plt.tight_layout()
+                plt.show()
+            except ImportError:
+                pass
+    return overlays

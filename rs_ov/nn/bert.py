@@ -9,7 +9,8 @@ embeddings (word + position, LayerNorm eps 1e-12) and L post-LN transformer
 layers with separate q/k/v projections. Passing encoder_hidden_states runs
 the MED 'multimodal' mode (per-layer cross-attention over image tokens,
 reference med.py:358-370 — the BLIP ITM path; see train/blip_retrieval.py).
-LM-head decoder branches of med.py remain out of the pipeline's scope.
+The LM-head decoder branch (``causal=True`` + nn/blip_lm.py head/loss/
+generate) covers reference med.py:811-930 BertLMHeadModel.
 
 Param pytree:
   {'embeddings': {'word': (V, H), 'position': (P, H), 'token_type': (2, H),
@@ -49,13 +50,13 @@ def _split_heads(x, heads):
     return x.reshape(b, l, heads, d // heads).transpose(0, 2, 1, 3)
 
 
-def _mha(q_in, kv_in, names, layer, heads, scale, mask, eps):
-    """One post-LN attention sub-block: project, attend, dense, LN(residual).
-
-    names = (q, k, v, out, ln) key prefixes into `layer`; kv_in is q_in for
-    self-attention, the encoder hidden states for cross-attention
-    (reference med.py BertAttention, is_cross_attention — :358-370)."""
-    qn, kn, vn, on, lnn = names
+def _attend(q_in, kv_in, names, layer, heads, scale, mask):
+    """Projected multi-head attention context [B, Lq, H] (before the output
+    dense — reference med.py BertSelfAttention). Split out so the NLVR
+    twin-stream cross-attention (nn/blip_lm.py, reference
+    nlvr_encoder.py:250-345) can merge two contexts through its dense0/
+    dense1/merge head before the residual LayerNorm."""
+    qn, kn, vn = names
     b, lq, h = q_in.shape
     q = _split_heads(linear(q_in, layer[qn + "_w"], layer[qn + "_b"]), heads)
     k = _split_heads(linear(kv_in, layer[kn + "_w"], layer[kn + "_b"]), heads)
@@ -65,7 +66,17 @@ def _mha(q_in, kv_in, names, layer, heads, scale, mask, eps):
     attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
     attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
     ctx = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h).astype(q_in.dtype)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, lq, h).astype(q_in.dtype)
+
+
+def _mha(q_in, kv_in, names, layer, heads, scale, mask, eps):
+    """One post-LN attention sub-block: project, attend, dense, LN(residual).
+
+    names = (q, k, v, out, ln) key prefixes into `layer`; kv_in is q_in for
+    self-attention, the encoder hidden states for cross-attention
+    (reference med.py BertAttention, is_cross_attention — :358-370)."""
+    qn, kn, vn, on, lnn = names
+    ctx = _attend(q_in, kv_in, (qn, kn, vn), layer, heads, scale, mask)
     out = linear(ctx, layer[on + "_w"], layer[on + "_b"])
     return layer_norm(q_in + out, layer[lnn], eps=eps)
 
@@ -74,7 +85,8 @@ def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
                 cfg: BertConfig,
                 position_ids: jnp.ndarray | None = None,
                 encoder_hidden_states: jnp.ndarray | None = None,
-                encoder_attention_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                encoder_attention_mask: jnp.ndarray | None = None,
+                causal: bool = False) -> jnp.ndarray:
     """input_ids/attention_mask: [B, L] -> last_hidden_state [B, L, H].
 
     position_ids overrides the default 0..L-1 positions (RoBERTa-family
@@ -85,7 +97,12 @@ def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
     cross-attention over the image tokens (q from the text stream, k/v
     from the encoder states through the layer's 'x*' params), then FFN —
     the BLIP ITM path. Layers must carry cross params (init_blip_retrieval
-    or a BLIP checkpoint with crossattention weights)."""
+    or a BLIP checkpoint with crossattention weights).
+
+    causal=True runs the MED decoder mode (``is_decoder=True``, reference
+    med.py:660-690 get_extended_attention_mask): self-attention additionally
+    lower-triangular-masked for next-token prediction (the BLIP LM path —
+    see nn/blip_lm.py for the head/loss/generate surface)."""
     eps = cfg.layer_norm_eps
     emb = p["embeddings"]
     x = emb["word"][input_ids]
@@ -99,6 +116,10 @@ def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
 
     # additive mask: 0 for attend, -inf-ish for padding (HF convention)
     mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+    if causal:
+        l = input_ids.shape[1]
+        tri = jnp.tril(jnp.ones((l, l), jnp.float32))
+        mask = mask + (1.0 - tri)[None, None, :, :] * -10000.0
     if encoder_hidden_states is not None:
         if encoder_attention_mask is None:
             xmask = jnp.zeros((x.shape[0], 1, 1, encoder_hidden_states.shape[1]),

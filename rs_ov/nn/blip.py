@@ -23,6 +23,7 @@ from rs_ov.nn.blip_vit import BlipVisionConfig, blip_vit_forward
 from rs_ov.nn.layers import linear
 
 __all__ = ["BlipConfig", "init_blip_params", "blip_params_from_state_dict",
+           "bert_params_from_state_dict", "blip_visual_params_from_state_dict",
            "blip_encode_image", "blip_encode_text"]
 
 
@@ -141,47 +142,19 @@ def init_blip_params(key, cfg: BlipConfig, dtype=jnp.float32) -> dict:
 # checkpoint mapping (BLIP .pth: visual_encoder.* / text_encoder.* naming)
 # ---------------------------------------------------------------------------
 
-def blip_params_from_state_dict(sd: Mapping[str, np.ndarray],
+def bert_params_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str,
                                 dtype=jnp.float32) -> dict:
+    """Map a BertModel subtree (reference med.py naming: ``{prefix}.
+    embeddings.* / {prefix}.encoder.layer.N.*``, auto-descending into
+    ``{prefix}.bert`` for LM-head checkpoints) to the nn/bert.py pytree,
+    including MED cross-attention weights when present."""
     def a(name):
         return jnp.asarray(sd[name], dtype)
 
-    def ln(prefix):
-        return {"scale": a(f"{prefix}.weight"), "bias": a(f"{prefix}.bias")}
+    def ln(p):
+        return {"scale": a(f"{p}.weight"), "bias": a(f"{p}.bias")}
 
-    n_v = 0
-    while f"visual_encoder.blocks.{n_v}.norm1.weight" in sd:
-        n_v += 1
-    vis = {
-        "patch_embed": {"w": a("visual_encoder.patch_embed.proj.weight"),
-                        "b": a("visual_encoder.patch_embed.proj.bias")},
-        "cls_token": jnp.asarray(np.asarray(sd["visual_encoder.cls_token"])
-                                 .reshape(-1), dtype),
-        "pos_embed": jnp.asarray(np.asarray(sd["visual_encoder.pos_embed"])[0], dtype),
-        "blocks": [],
-        "norm": ln("visual_encoder.norm"),
-    }
-    for i in range(n_v):
-        pre = f"visual_encoder.blocks.{i}"
-        vis["blocks"].append({
-            "norm1": ln(f"{pre}.norm1"),
-            "attn": {
-                "in_proj_w": a(f"{pre}.attn.qkv.weight"),
-                "in_proj_b": a(f"{pre}.attn.qkv.bias"),
-                "out_proj_w": a(f"{pre}.attn.proj.weight"),
-                "out_proj_b": a(f"{pre}.attn.proj.bias"),
-            },
-            "norm2": ln(f"{pre}.norm2"),
-            "mlp": {
-                "c_fc_w": a(f"{pre}.mlp.fc1.weight"),
-                "c_fc_b": a(f"{pre}.mlp.fc1.bias"),
-                "c_proj_w": a(f"{pre}.mlp.fc2.weight"),
-                "c_proj_b": a(f"{pre}.mlp.fc2.bias"),
-            },
-        })
-
-    # text: BertModel under 'text_encoder.' (reference med.py naming)
-    tp = "text_encoder"
+    tp = prefix
     if f"{tp}.bert.embeddings.word_embeddings.weight" in sd:
         tp = f"{tp}.bert"
     n_t = 0
@@ -196,7 +169,8 @@ def blip_params_from_state_dict(sd: Mapping[str, np.ndarray],
         "layers": [],
     }
     if f"{tp}.embeddings.token_type_embeddings.weight" in sd:
-        text["embeddings"]["token_type"] = a(f"{tp}.embeddings.token_type_embeddings.weight")
+        text["embeddings"]["token_type"] = a(
+            f"{tp}.embeddings.token_type_embeddings.weight")
     for i in range(n_t):
         pre = f"{tp}.encoder.layer.{i}"
         layer = {
@@ -229,7 +203,82 @@ def blip_params_from_state_dict(sd: Mapping[str, np.ndarray],
                 "x_out_b": a(f"{pre}.crossattention.output.dense.bias"),
                 "x_ln": ln(f"{pre}.crossattention.output.LayerNorm"),
             })
+        # NLVR twin cross-attention (reference nlvr_encoder.py:219-345:
+        # self0/self1 streams, dense0/dense1, merge_layer from layer 6)
+        if f"{pre}.crossattention.self0.query.weight" in sd:
+            for s in (0, 1):
+                layer.update({
+                    f"x{s}q_w": a(f"{pre}.crossattention.self{s}.query.weight"),
+                    f"x{s}q_b": a(f"{pre}.crossattention.self{s}.query.bias"),
+                    f"x{s}k_w": a(f"{pre}.crossattention.self{s}.key.weight"),
+                    f"x{s}k_b": a(f"{pre}.crossattention.self{s}.key.bias"),
+                    f"x{s}v_w": a(f"{pre}.crossattention.self{s}.value.weight"),
+                    f"x{s}v_b": a(f"{pre}.crossattention.self{s}.value.bias"),
+                    f"x{s}_out_w": a(f"{pre}.crossattention.output.dense{s}.weight"),
+                    f"x{s}_out_b": a(f"{pre}.crossattention.output.dense{s}.bias"),
+                })
+            layer["x_ln"] = ln(f"{pre}.crossattention.output.LayerNorm")
+            if f"{pre}.crossattention.output.merge_layer.weight" in sd:
+                layer["merge_w"] = a(f"{pre}.crossattention.output.merge_layer.weight")
+                layer["merge_b"] = a(f"{pre}.crossattention.output.merge_layer.bias")
         text["layers"].append(layer)
+    return text
+
+
+def blip_visual_params_from_state_dict(sd: Mapping[str, np.ndarray],
+                                       dtype=jnp.float32,
+                                       prefix: str = "visual_encoder") -> dict:
+    """Map the BLIP ViT tower (reference BLIP/models/vit.py naming)."""
+    def a(name):
+        return jnp.asarray(sd[name.replace("visual_encoder", prefix, 1)], dtype)
+
+    def ln(p):
+        return {"scale": a(f"{p}.weight"), "bias": a(f"{p}.bias")}
+
+    def raw(name):
+        return np.asarray(sd[name.replace("visual_encoder", prefix, 1)])
+
+    n_v = 0
+    while f"{prefix}.blocks.{n_v}.norm1.weight" in sd:
+        n_v += 1
+    vis = {
+        "patch_embed": {"w": a("visual_encoder.patch_embed.proj.weight"),
+                        "b": a("visual_encoder.patch_embed.proj.bias")},
+        "cls_token": jnp.asarray(raw("visual_encoder.cls_token").reshape(-1),
+                                 dtype),
+        "pos_embed": jnp.asarray(raw("visual_encoder.pos_embed")[0], dtype),
+        "blocks": [],
+        "norm": ln("visual_encoder.norm"),
+    }
+    for i in range(n_v):
+        pre = f"visual_encoder.blocks.{i}"
+        vis["blocks"].append({
+            "norm1": ln(f"{pre}.norm1"),
+            "attn": {
+                "in_proj_w": a(f"{pre}.attn.qkv.weight"),
+                "in_proj_b": a(f"{pre}.attn.qkv.bias"),
+                "out_proj_w": a(f"{pre}.attn.proj.weight"),
+                "out_proj_b": a(f"{pre}.attn.proj.bias"),
+            },
+            "norm2": ln(f"{pre}.norm2"),
+            "mlp": {
+                "c_fc_w": a(f"{pre}.mlp.fc1.weight"),
+                "c_fc_b": a(f"{pre}.mlp.fc1.bias"),
+                "c_proj_w": a(f"{pre}.mlp.fc2.weight"),
+                "c_proj_b": a(f"{pre}.mlp.fc2.bias"),
+            },
+        })
+    return vis
+
+
+def blip_params_from_state_dict(sd: Mapping[str, np.ndarray],
+                                dtype=jnp.float32) -> dict:
+    def a(name):
+        return jnp.asarray(sd[name], dtype)
+
+    vis = blip_visual_params_from_state_dict(sd, dtype)
+    # text: BertModel under 'text_encoder.' (reference med.py naming)
+    text = bert_params_from_state_dict(sd, "text_encoder", dtype)
 
     out = {
         "visual": vis,

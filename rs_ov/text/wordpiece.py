@@ -43,6 +43,16 @@ class WordPieceTokenizer:
         self.cls_token_id = self.vocab.get("[CLS]", 101)
         self.sep_token_id = self.vocab.get("[SEP]", 102)
         self.pad_token_id = self.vocab.get("[PAD]", 0)
+        # BLIP special tokens (reference blip.py:186-191 init_tokenizer):
+        # '[DEC]' bos appended after the base vocab, then '[ENC]' — ids
+        # 30522/30523 for bert-base-uncased, matching the MED vocab of 30524
+        for i, tok in enumerate(("[DEC]", "[ENC]")):
+            if tok not in self.vocab:
+                tid = len(self.vocab)
+                self.vocab[tok] = tid
+                self.ids_to_tokens[tid] = tok
+        self.bos_token_id = self.vocab["[DEC]"]
+        self.enc_token_id = self.vocab["[ENC]"]
 
     # ---- basic tokenization ----
     def _basic(self, text: str) -> List[str]:
@@ -108,6 +118,22 @@ class WordPieceTokenizer:
     def encode(self, text: str) -> List[int]:
         return [self.vocab.get(t, self.vocab[self.unk_token])
                 for t in self.tokenize(text)]
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        """Token ids -> text (##-piece joining; HF BertTokenizer.decode
+        semantics for the generate paths, reference blip.py:167)."""
+        special = {self.cls_token_id, self.sep_token_id, self.pad_token_id,
+                   self.bos_token_id, self.enc_token_id}
+        out = []
+        for i in (int(x) for x in ids):
+            if skip_special_tokens and i in special:
+                continue
+            tok = self.ids_to_tokens.get(i, self.unk_token)
+            if tok.startswith("##") and out:
+                out[-1] += tok[2:]
+            else:
+                out.append(tok)
+        return " ".join(out)
 
     def __call__(self, texts: Union[str, List[str]], max_length: int = 35):
         """Returns dict(input_ids, attention_mask) int32 [N, max_length]."""

@@ -1,0 +1,312 @@
+"""BLIP MED-decoder family: LM head/loss vs torch oracles, caption loss +
+generate, VQA loss/rank, NLVR twin cross-attention.
+
+Reference: BLIP/models/med.py:811-930 (BertLMHeadModel), blip.py:78-177
+(BLIP_Decoder), blip_vqa.py:10-184, blip_nlvr.py + nlvr_encoder.py:219-345.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rs_ov.nn.bert import BertConfig, bert_encode
+from rs_ov.nn.blip import BlipConfig, bert_params_from_state_dict
+from rs_ov.nn.blip_lm import (blip_caption_loss, blip_nlvr_forward,
+                              blip_vqa_loss, caption_targets,
+                              generate_captions, init_blip_decoder_params,
+                              init_blip_nlvr_params, init_blip_vqa_params,
+                              lm_head_from_state_dict, lm_logits, lm_loss,
+                              nlvr_encode, vqa_rank_answers)
+from rs_ov.nn.blip_vit import BlipVisionConfig
+
+
+def _tiny_cfg():
+    return BlipConfig(
+        vision=BlipVisionConfig(image_size=32, patch_size=8, width=24,
+                                layers=2, heads=2),
+        text=BertConfig(vocab_size=64, hidden_size=16, num_layers=2,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=40),
+        embed_dim=8)
+
+
+# ---------------------------------------------------------------------------
+# oracle parity: decoder logits vs transformers BertLMHeadModel
+# ---------------------------------------------------------------------------
+
+def test_decoder_logits_match_transformers_lm_head():
+    """Causal mask + cross-attention + prediction head against HF's
+    BertLMHeadModel(is_decoder=True, add_cross_attention=True) — the model
+    reference med.py is derived from (minus its encoder_width tweak, so the
+    encoder states here are hidden-size wide)."""
+    from transformers import BertConfig as HFConfig, BertLMHeadModel
+
+    hf_cfg = HFConfig(vocab_size=120, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=40, is_decoder=True,
+                      add_cross_attention=True)
+    torch.manual_seed(0)
+    model = BertLMHeadModel(hf_cfg)
+    model.eval()
+
+    sd = {f"text_decoder.{k}": v.detach().numpy()
+          for k, v in model.state_dict().items()}
+    params = bert_params_from_state_dict(sd, "text_decoder")
+    head = lm_head_from_state_dict(sd)
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                     num_heads=2, intermediate_size=64)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 119, size=(2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+    enc = rng.randn(2, 5, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask),
+                    encoder_hidden_states=torch.from_numpy(enc)
+                    ).logits.numpy()
+    hidden = bert_encode(params, jnp.asarray(ids.astype(np.int32)),
+                         jnp.asarray(mask.astype(np.int32)), cfg,
+                         encoder_hidden_states=jnp.asarray(enc), causal=True)
+    got = np.asarray(lm_logits(head, hidden))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=2e-3)
+
+
+def test_lm_loss_matches_torch_label_smoothing():
+    rng = np.random.RandomState(1)
+    logits = rng.randn(3, 7, 11).astype(np.float32)
+    labels = rng.randint(0, 11, size=(3, 7)).astype(np.int64)
+    labels[0, :2] = -100
+    labels[2, 5:] = -100
+
+    # reference med.py:910-916 — shift, label_smoothing=0.1, ignore -100
+    sl = torch.from_numpy(logits[:, :-1]).reshape(-1, 11)
+    ll = torch.from_numpy(labels[:, 1:]).reshape(-1)
+    ce = torch.nn.CrossEntropyLoss(reduction="mean", label_smoothing=0.1,
+                                   ignore_index=-100)
+    ref_mean = float(ce(sl, ll))
+    got_mean = float(lm_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got_mean, ref_mean, rtol=1e-5)
+
+    ce_none = torch.nn.CrossEntropyLoss(reduction="none", label_smoothing=0.1,
+                                        ignore_index=-100)
+    ref_none = ce_none(sl, ll).reshape(3, -1).sum(1).numpy()
+    got_none = np.asarray(lm_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                  reduction="none"))
+    np.testing.assert_allclose(got_none, ref_none, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# captioning
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cap():
+    cfg = _tiny_cfg()
+    params = init_blip_decoder_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_caption_loss_finite_and_causal(cap):
+    cfg, params = cap
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    ids = rng.randint(1, 60, size=(2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    loss = float(blip_caption_loss(params, images, jnp.asarray(ids),
+                                   jnp.asarray(mask), cfg, prompt_length=3))
+    assert np.isfinite(loss) and loss > 0
+
+    # grad flows to both towers
+    g = jax.grad(lambda p: blip_caption_loss(p, images, jnp.asarray(ids),
+                                             jnp.asarray(mask), cfg))(params)
+    assert float(jnp.abs(g["visual"]["cls_token"]).sum()) > 0
+    assert float(jnp.abs(g["lm_head"]["t_w"]).sum()) > 0
+
+
+def test_causal_mask_blocks_future(cap):
+    """Logits at position t must not change when a later token changes."""
+    cfg, params = cap
+    rng = np.random.RandomState(1)
+    enc = jnp.asarray(rng.randn(1, 4, cfg.vision.width).astype(np.float32))
+    ids = rng.randint(1, 60, size=(1, 8)).astype(np.int32)
+    ids2 = ids.copy()
+    ids2[0, 6] = (ids2[0, 6] + 1) % 60
+    mask = jnp.ones((1, 8), jnp.int32)
+
+    def logits(i):
+        h = bert_encode(params["text_decoder"], jnp.asarray(i), mask,
+                        cfg.text, encoder_hidden_states=enc, causal=True)
+        return np.asarray(lm_logits(params["lm_head"], h))
+
+    a, b = logits(ids), logits(ids2)
+    np.testing.assert_allclose(a[0, :6], b[0, :6], atol=1e-6)
+    assert np.abs(a[0, 6:] - b[0, 6:]).max() > 0
+
+
+def test_generate_captions_beam_and_sample(cap, tmp_path):
+    cfg, params = cap
+    from rs_ov.text.wordpiece import WordPieceTokenizer
+
+    vocab = tmp_path / "vocab.txt"
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "picture", "of",
+             "tree", "road", "##s", "water", "build", "##ing"]
+    words += [f"w{i}" for i in range(64 - 2 - len(words))]
+    vocab.write_text("\n".join(words))
+    tok = WordPieceTokenizer(str(vocab))
+    assert tok.bos_token_id == 62 and tok.enc_token_id == 63
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    caps = generate_captions(params, images, cfg, tok, prompt="a picture of ",
+                             max_length=12, min_length=2, num_beams=2)
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+    # deterministic
+    assert caps == generate_captions(params, images, cfg, tok,
+                                     prompt="a picture of ", max_length=12,
+                                     min_length=2, num_beams=2)
+    sampled = generate_captions(params, images, cfg, tok,
+                                prompt="a picture of ", sample=True,
+                                max_length=12, min_length=2,
+                                rng=np.random.RandomState(7))
+    assert len(sampled) == 2
+
+
+def test_caption_targets():
+    ids = jnp.asarray([[5, 9, 3, 0, 0]], jnp.int32)
+    t = np.asarray(caption_targets(ids, pad_token_id=0, prompt_length=2))
+    np.testing.assert_array_equal(t, [[-100, -100, 3, -100, -100]])
+
+
+# ---------------------------------------------------------------------------
+# VQA
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vqa():
+    cfg = _tiny_cfg()
+    params = init_blip_vqa_params(jax.random.PRNGKey(1), cfg)
+    return cfg, params
+
+
+def test_vqa_loss_finite(vqa):
+    cfg, params = vqa
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    q_ids = jnp.asarray(rng.randint(1, 60, size=(2, 6)), jnp.int32)
+    q_mask = jnp.ones((2, 6), jnp.int32)
+    # question 0 has 2 answers, question 1 has 1 (reference n=[2,1])
+    a_ids = jnp.asarray(rng.randint(1, 60, size=(3, 5)), jnp.int32)
+    a_mask = jnp.ones((3, 5), jnp.int32)
+    a2q = jnp.asarray([0, 0, 1], jnp.int32)
+    w = jnp.asarray([0.6, 0.4, 1.0], jnp.float32)
+    loss = float(blip_vqa_loss(params, images, q_ids, q_mask, a_ids, a_mask,
+                               a2q, w, cfg))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_vqa_rank_matches_bruteforce(vqa):
+    """With k = n_answers the shortlist is total, so rank must equal the
+    argmax of the full per-candidate LM scores (reference rank_answer
+    semantics with an exhaustive top-k)."""
+    cfg, params = vqa
+    rng = np.random.RandomState(3)
+    nq, na = 2, 4
+    images = jnp.asarray(rng.randn(nq, 3, 32, 32).astype(np.float32))
+    q_ids = jnp.asarray(rng.randint(1, 60, size=(nq, 6)), jnp.int32)
+    q_mask = jnp.ones((nq, 6), jnp.int32)
+    bos = 62
+    ans = rng.randint(1, 60, size=(na, 5)).astype(np.int32)
+    ans[:, 0] = bos
+    a_mask = np.ones((na, 5), np.int32)
+
+    got = np.asarray(vqa_rank_answers(params, images, q_ids, q_mask,
+                                      jnp.asarray(ans), jnp.asarray(a_mask),
+                                      cfg, k=na))
+
+    # brute force: full LM score of every answer for every question
+    from rs_ov.nn.blip_vit import blip_vit_forward
+    from rs_ov.nn.blip_lm import IGNORE_INDEX
+
+    embeds = blip_vit_forward(params["visual"], images, cfg.vision)
+    q_states = bert_encode(params["text_encoder"], q_ids, q_mask, cfg.text,
+                           encoder_hidden_states=embeds)
+    best = []
+    for q in range(nq):
+        scores = []
+        for a in range(na):
+            h = bert_encode(params["text_decoder"],
+                            jnp.asarray(ans[a:a + 1]),
+                            jnp.asarray(a_mask[a:a + 1]), cfg.text,
+                            encoder_hidden_states=q_states[q:q + 1],
+                            encoder_attention_mask=q_mask[q:q + 1],
+                            causal=True)
+            lg = lm_logits(params["lm_head"], h)
+            tgt = jnp.where(jnp.asarray(ans[a:a + 1]) == 0, IGNORE_INDEX,
+                            jnp.asarray(ans[a:a + 1]))
+            scores.append(-float(lm_loss(lg, tgt, reduction="none")[0]))
+        best.append(int(np.argmax(scores)))
+    np.testing.assert_array_equal(got, best)
+
+
+# ---------------------------------------------------------------------------
+# NLVR
+# ---------------------------------------------------------------------------
+
+def test_nlvr_twin_collapses_to_single_cross():
+    """With both streams' params identical (the reference's checkpoint key
+    duplication, blip_nlvr.py:88-98), no merge layers, and emb0 == emb1,
+    nlvr_encode must equal the single-stream cross encoder exactly:
+    (dense0(ctx) + dense1(ctx)) / 2 == dense(ctx)."""
+    cfg = _tiny_cfg()
+    params = init_blip_vqa_params(jax.random.PRNGKey(2), cfg)
+    single = params["text_encoder"]  # has x* cross params
+
+    import copy
+    twin = copy.deepcopy(single)
+    for layer in twin["layers"]:
+        for s in (0, 1):
+            for suf in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
+                        "_out_w", "_out_b"):
+                layer[f"x{s}{suf}"] = layer[f"x{suf}"]
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(1, 60, size=(2, 7)), jnp.int32)
+    mask = jnp.ones((2, 7), jnp.int32)
+    emb = jnp.asarray(rng.randn(2, 5, cfg.vision.width).astype(np.float32))
+
+    ref = bert_encode(single, ids, mask, cfg.text,
+                      encoder_hidden_states=emb)
+    got = nlvr_encode(twin, ids, mask, emb, emb, cfg.text)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_nlvr_forward_and_loss():
+    cfg = _tiny_cfg()
+    params = init_blip_nlvr_params(jax.random.PRNGKey(3), cfg)
+    # merge layers appear from num_layers//2 (reference layer_num>=6 at 12)
+    assert "merge_w" not in params["text_encoder"]["layers"][0]
+    assert "merge_w" in params["text_encoder"]["layers"][1]
+
+    rng = np.random.RandomState(0)
+    b = 2
+    images = jnp.asarray(rng.randn(2 * b, 3, 32, 32).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 60, size=(b, 7)), jnp.int32)
+    mask = jnp.ones((b, 7), jnp.int32)
+    logits = blip_nlvr_forward(params, images, ids, mask, cfg)
+    assert logits.shape == (b, 2)
+    targets = jnp.asarray([0, 1], jnp.int32)
+    loss = float(blip_nlvr_forward(params, images, ids, mask, cfg,
+                                   targets=targets))
+    assert np.isfinite(loss) and loss > 0
+    # swapping the two scenes must change the prediction (streams differ)
+    swapped = jnp.concatenate([images[b:], images[:b]])
+    logits_sw = blip_nlvr_forward(params, swapped, ids, mask, cfg)
+    assert np.abs(np.asarray(logits) - np.asarray(logits_sw)).max() > 1e-6

@@ -94,3 +94,23 @@ def test_gem_pos_embed_resample():
         ref = vit(torch.from_numpy(img)).numpy()
     got = np.asarray(gem_vit_forward(params, jnp.asarray(img), vcfg, depth=3))
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-3)
+
+
+def test_gem_visualize_overlays(tmp_path):
+    """visualize (reference gem/gem.py:151-189): per-class JET overlays,
+    heatmap_{cls}.png files, CHW-normalised-tensor un-normalisation."""
+    import numpy as np
+
+    from rs_ov.gem_api import visualize
+
+    img = np.random.RandomState(0).randint(0, 256, (64, 48, 3), np.uint8)
+    logits = np.random.RandomState(1).rand(1, 2, 32, 24).astype(np.float32)
+    out = visualize(img, ["tree", "road"], logits,
+                    save_path=str(tmp_path) + "/")
+    assert len(out) == 2 and out[0].shape == (32, 24, 3)
+    assert out[0].dtype == np.uint8
+    assert sorted(p.name for p in tmp_path.iterdir()) == [
+        "heatmap_road.png", "heatmap_tree.png"]
+
+    chw = (np.random.RandomState(2).rand(3, 32, 24).astype(np.float32) - 0.5)
+    assert visualize(chw, ["a"], logits[0, :1])[0].shape == (32, 24, 3)
