@@ -79,19 +79,43 @@ def _fill_x(x_ref, inpa_ref, inpb_ref, *, ht: int, wt: int, slab: bool):
         x_ref[ht * 128:] = inpb_ref[0, :, 0].reshape(ht * 128, -1).astype(jnp.bfloat16)
 
 
-def _conv_rows(comb_ref, x_ref, band_ref, *, d: int, ht: int, wt: int, emit):
+def _conv_rows(comb_ref, x_ref, band_ref, *, d: int, ht: int, wt: int, emit,
+               rows: int = 1):
     """The v5 concat-K banded adaptive conv: one [WT, d*128] @ [d*128, C]
-    MXU matmul per output row; `emit(i, y)` consumes each fp32 [WT, C] row."""
-    for i in range(ht):
-        for u in range(d):
-            slab = comb_ref[i * wt:(i + 1) * wt, u * d:(u + 1) * d]
-            slab = jnp.pad(slab.astype(jnp.float32), ((0, 0), (0, 128 - d)))
-            m = pltpu.roll(slab, 0, axis=1, stride=1, stride_axis=0)
-            band_ref[:, u * 128:(u + 1) * 128] = m.astype(jnp.bfloat16)
-        emit(i, jax.lax.dot_general(
-            band_ref[:], x_ref[i * 128:(i + d) * 128],
+    MXU matmul per output row; `emit(i, y)` consumes each fp32 [WT, C] row.
+
+    rows=R>1 stacks R output rows into ONE issue (VERDICT r3 #4 — attack
+    per-row MXU issue serialization): row stripe j occupies band columns
+    [(j)*128, (j+d)*128) of a [R*WT, (d+R-1)*128] operand against the
+    shared K window x[i : i+d+R-1], i.e. R x fewer issues for
+    (d+R-1)/d more issued (zero-padded) flops per row."""
+    kb = d + rows - 1  # K blocks per issue
+    if rows > 1:
+        # zero the off-diagonal stripes once per invocation (each i-step
+        # rewrites exactly the same tap blocks, so these stay authoritative)
+        for j in range(rows):
+            if j:
+                band_ref[j * wt:(j + 1) * wt, :j * 128] = jnp.zeros(
+                    (wt, j * 128), jnp.bfloat16)
+            if j < rows - 1:
+                band_ref[j * wt:(j + 1) * wt, (j + d) * 128:] = jnp.zeros(
+                    (wt, (rows - 1 - j) * 128), jnp.bfloat16)
+    for i in range(0, ht, rows):
+        for j in range(rows):
+            for u in range(d):
+                slab = comb_ref[(i + j) * wt:(i + j + 1) * wt,
+                                u * d:(u + 1) * d]
+                slab = jnp.pad(slab.astype(jnp.float32),
+                               ((0, 0), (0, 128 - d)))
+                m = pltpu.roll(slab, 0, axis=1, stride=1, stride_axis=0)
+                band_ref[j * wt:(j + 1) * wt,
+                         (j + u) * 128:(j + u + 1) * 128] = m.astype(jnp.bfloat16)
+        res = jax.lax.dot_general(
+            band_ref[:], x_ref[i * 128:(i + kb) * 128],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32)
+        for j in range(rows):
+            emit(i + j, res[j * wt:(j + 1) * wt])
 
 
 def _cls_tail(y, fw_ref, fb_ref, qf_ref):
@@ -113,7 +137,7 @@ def _cls_tail(y, fw_ref, fb_ref, qf_ref):
 def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
             w1_ref, b1_ref, inpa_ref, inpb_ref, out_ref,
             comb_ref, x_ref, band_ref, *, diameter: int, ht: int, wt: int,
-            dd: int, g: int, slab: bool = False):
+            dd: int, g: int, slab: bool = False, rows: int = 1):
     d = diameter
     p = ht * wt
 
@@ -143,13 +167,14 @@ def _kernel(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
     def emit(i, y):
         out_ref[0, i, 0] = y.astype(out_ref.dtype)
 
-    _conv_rows(comb_ref, x_ref, band_ref, d=d, ht=ht, wt=wt, emit=emit)
+    _conv_rows(comb_ref, x_ref, band_ref, d=d, ht=ht, wt=wt, emit=emit,
+               rows=rows)
 
 
 def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
                 w1_ref, b1_ref, inpa_ref, inpb_ref, fw_ref, fb_ref, qf_ref,
                 out_ref, comb_ref, x_ref, band_ref, *, diameter: int, ht: int,
-                wt: int, dd: int, g: int, slab: bool = False):
+                wt: int, dd: int, g: int, slab: bool = False, rows: int = 1):
     """_kernel + the pipeline tail fused per output row: final-fixup conv
     (residual 1x1 over C), L2 normalisation, and the cosine classifier —
     the [P, C] stage-4 features never leave VMEM and the kernel writes
@@ -177,17 +202,20 @@ def _kernel_cls(logits_ref, guid_ref, spatial_ref, temp_ref, w0_ref, b0_ref,
     def emit(i, y):
         out_ref[0, i, 0] = _cls_tail(y, fw_ref, fb_ref, qf_ref)
 
-    _conv_rows(comb_ref, x_ref, band_ref, d=d, ht=ht, wt=wt, emit=emit)
+    _conv_rows(comb_ref, x_ref, band_ref, d=d, ht=ht, wt=wt, emit=emit,
+               rows=rows)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("diameter", "interpret", "nhwc", "slab"))
+                   static_argnames=("diameter", "interpret", "nhwc", "slab",
+                                    "rows"))
 def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                         guid_t: jnp.ndarray, spatial: jnp.ndarray,
                         pos_temp: jnp.ndarray, w0: jnp.ndarray,
                         b0: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                         diameter: int, interpret: bool = False,
-                        nhwc: bool = False, slab: bool = True) -> jnp.ndarray:
+                        nhwc: bool = False, slab: bool = True,
+                        rows: int = 1) -> jnp.ndarray:
     """inp: [B, C, H+d-1, W+d-1] (bicubic-upsampled reflect-padded source) —
     or [B, H+d-1, W+d-1, C] with nhwc=True, which also returns [B, H, W, C]
     and skips both boundary transposes (the layout the kernel uses anyway);
@@ -256,8 +284,9 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     spatial_p = jnp.pad(spatial.astype(jnp.float32).reshape(1, dd),
                         ((0, 0), (0, 128 - dd)))
 
+    assert ht % rows == 0
     kernel = functools.partial(_kernel, diameter=d, ht=ht, wt=wt, dd=dd, g=g,
-                               slab=slab)
+                               slab=slab, rows=rows)
     out_t = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hpad, n_wb, wt, cp), inp.dtype),
@@ -288,7 +317,8 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((ht * wt, dd), jnp.bfloat16),
                         pltpu.VMEM((2 * ht * 128, cp), jnp.bfloat16),
-                        pltpu.VMEM((wt, d * 128), jnp.bfloat16)],
+                        pltpu.VMEM((rows * wt, (d + rows - 1) * 128),
+                                   jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -298,7 +328,8 @@ def jbu_epilogue_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     return out if nhwc else out.transpose(0, 3, 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("diameter", "interpret", "slab"))
+@functools.partial(jax.jit,
+                   static_argnames=("diameter", "interpret", "slab", "rows"))
 def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                                  guid_t: jnp.ndarray, spatial: jnp.ndarray,
                                  pos_temp: jnp.ndarray, w0: jnp.ndarray,
@@ -307,7 +338,8 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                                  fixup_b: jnp.ndarray, query_features: jnp.ndarray,
                                  diameter: int,
                                  interpret: bool = False,
-                                 slab: bool = True) -> jnp.ndarray:
+                                 slab: bool = True,
+                                 rows: int = 1) -> jnp.ndarray:
     """jbu_epilogue_pallas(nhwc=True) with the pipeline tail fused: the
     final-fixup residual conv, the L2 normalisation and the cosine
     classifier run per output row in VMEM, and the kernel emits
@@ -377,8 +409,9 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
     qft = jnp.zeros((cp, 128), jnp.bfloat16).at[:c, :q].set(
         query_features.T.astype(jnp.bfloat16))
 
+    assert ht % rows == 0
     kernel = functools.partial(_kernel_cls, diameter=d, ht=ht, wt=wt, dd=dd,
-                               g=g, slab=slab)
+                               g=g, slab=slab, rows=rows)
     const = lambda bi, hi, wi: (0, 0)  # noqa: E731
     out_t = pl.pallas_call(
         kernel,
@@ -408,7 +441,8 @@ def jbu_epilogue_classify_pallas(inp: jnp.ndarray, logits_t: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((ht * wt, dd), jnp.bfloat16),
                         pltpu.VMEM((2 * ht * 128, cp), jnp.bfloat16),
-                        pltpu.VMEM((wt, d * 128), jnp.bfloat16)],
+                        pltpu.VMEM((rows * wt, (d + rows - 1) * 128),
+                                   jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -275,6 +275,7 @@ def jbu_module_forward_nhwc(p: dict, source: jnp.ndarray, guidance_cf: jnp.ndarr
         pos_temp, fx["w0"].reshape(fx["w0"].shape[0], -1), fx["b0"],
         fx["w1"].reshape(fx["w1"].shape[0], -1), fx["b1"], diameter, nhwc=True,
         slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0",
+        rows=int(os.environ.get("RS_OV_JBU_ROWS", "1")),
         interpret=_pallas_interpret())
 
 
@@ -327,6 +328,7 @@ def jbu_module_forward_nhwc_classify(p: dict, source: jnp.ndarray,
         final_fixup["w"].reshape(c, c), final_fixup["b"],
         query_features, diameter,
         slab=os.environ.get("RS_OV_JBU_SLAB", "1") != "0",
+        rows=int(os.environ.get("RS_OV_JBU_ROWS", "1")),
         interpret=_pallas_interpret())
 
 
