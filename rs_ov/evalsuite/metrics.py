@@ -15,9 +15,52 @@ replacement for mmengine's distributed metric collection.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
-__all__ = ["IoUMetric", "confusion_update"]
+__all__ = ["IoUMetric", "confusion_update", "device_confusion_update"]
+
+
+def _device_conf_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("c", "ig"))
+    def f(state, pred, label, c, ig):
+        """state [4, C] float32 + batch histogram of (pred, label) [N, H, W]
+        int arrays — all ON DEVICE. Invalid (ignore_index) pixels bucket into
+        class index c and are sliced off; mismatched valid pixels bucket
+        their intersect count there too. Same math as confusion_update."""
+        p = pred.reshape(-1).astype(jnp.int32)
+        lbl = label.reshape(-1).astype(jnp.int32)
+        valid = lbl != ig
+        pv = jnp.where(valid, p, c)
+        lv = jnp.where(valid, lbl, c)
+        inter = jnp.where(pv == lv, pv, c)
+        ai = jnp.bincount(inter, length=c + 1)[:c]
+        ap = jnp.bincount(pv, length=c + 1)[:c]
+        al = jnp.bincount(lv, length=c + 1)[:c]
+        return state + jnp.stack([ai, ap + al - ai, ap, al]
+                                 ).astype(jnp.float32)
+
+    return f
+
+
+_device_conf = None
+
+
+def device_confusion_update(state, pred, label, num_classes: int,
+                            ignore_index: int = 255):
+    """On-device accumulate: returns a new device-resident [4, C] state.
+    Nothing crosses the host boundary — the eval loop uploads uint8 labels
+    with the batch and downloads ONLY the final [4, C] state, instead of a
+    full prediction raster per image (the tunnel round trips that dominated
+    the eval loop: benchmarks/eval_overlap_ab.json)."""
+    global _device_conf
+    if _device_conf is None:
+        _device_conf = _device_conf_fn()
+    return _device_conf(state, pred, label, num_classes, ignore_index)
 
 
 def confusion_update(pred: np.ndarray, label: np.ndarray, num_classes: int,

@@ -104,22 +104,56 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     pixels = 0
     warm = [0.0, 0]  # (time, pixels) after the first image — i.e. post-compile
 
-    def consume(pending):
+    # on-device metric accumulation: uint8 labels ride up with the batch,
+    # the [4, C] confusion state stays device-resident, and predictions
+    # NEVER download — the per-batch pred transfer was the eval loop's
+    # dominant cost (~23 ms/image through the tunnel,
+    # benchmarks/eval_overlap_ab.json). Falls back to host confusion when a
+    # label doesn't fit uint8 upload (ignore_index/classes >= 256 handled:
+    # uint8 holds both here by construction — labels are palette indices).
+    from rs_ov.evalsuite.metrics import device_confusion_update
+    import jax.numpy as jnp
+
+    dev_state = [jnp.zeros((4, metric.num_classes), jnp.float32)]
+
+    def consume(batch):
+        """batch: [(result, seg), ...] of ONE dispatch. Preds are slices of
+        one device array — concatenate ON DEVICE and fold into the device
+        confusion state; only images without GT (or non-uint8 labels) take
+        the host download path."""
         nonlocal pixels
-        result, seg = pending
-        pred = np.asarray(result["pred_sem_seg"])[0].astype(np.int64)  # blocks: device -> host
-        pixels += pred.size
-        if seg is not None:
-            metric.process(pred, seg)
+        with_gt, host = [], []
+        for r, s in batch:
+            if s is not None and int(s.max(initial=0)) <= 255:
+                with_gt.append((r, s))
+            else:
+                host.append((r, s))
+        if with_gt:
+            preds_dev = jnp.concatenate(
+                [r["pred_sem_seg"] for r, _ in with_gt], axis=0)
+            labels = np.stack([s for _, s in with_gt]).astype(np.uint8)
+            dev_state[0] = device_confusion_update(
+                dev_state[0], preds_dev, jnp.asarray(labels),
+                metric.num_classes, metric.ignore_index)
+            pixels += int(np.prod(preds_dev.shape))
+        for r, s in host:
+            pred = np.asarray(r["pred_sem_seg"])[0].astype(np.int64)
+            pixels += pred.size
+            if s is not None:
+                metric.process(pred, s)
         if not warm[1]:
             warm[0], warm[1] = time.perf_counter(), pixels
 
-    # one-deep software pipeline: enqueue image i's (uint8, device-normalised)
-    # upload + compute, then block on image i-1's result — the host-side
-    # metric update overlaps device compute instead of serialising behind it.
+    # software pipeline: enqueue batch i's (uint8, device-normalised) upload +
+    # compute, then block on batch i-depth's results — the host-side pred
+    # download + metric update overlaps device compute instead of serialising
+    # behind it. RS_OV_EVAL_DEPTH (default 2) batches stay in flight: with
+    # depth 2 the downloads consumed here are for a batch whose compute is
+    # long done, so only the tunnel transfer itself is paid.
     # batch_images>1 groups consecutive same-shape images into ONE fused
     # dispatch (predict_batch_raw: union tile batch — full MXU batches and
     # even mesh sharding; eval datasets are fixed-size so grouping is total)
+    depth = max(1, int(os.environ.get("RS_OV_EVAL_DEPTH", "2")))
     pending = []
     done = [0, 0]  # (consumed count, last progress print)
     buf: list = []
@@ -133,16 +167,19 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
         else:
             results = segmentor.predict_batch_raw(
                 np.stack([s.img for s in buf]), [s.meta for s in buf])
-        while pending:
+        pending.append([(r, s.seg) for r, s in zip(results, buf)])
+        while len(pending) > depth:
             consume(pending.pop(0))
-        pending.extend((r, s.seg) for r, s in zip(results, buf))
         done[0] += len(buf)
         buf.clear()
         if verbose and done[0] - done[1] >= 50:
             done[1] = done[0]
             print(f"[eval] {done[0]}/{n} images", flush=True)
 
-    for sample in dataset.prefetch():
+    # lookahead >= 2 batches: a fused batch dispatch needs batch_images
+    # decoded samples at once — a 2-image lookahead would stall each flush
+    # on ~6 serialized decodes (17 ms apiece on this host)
+    for sample in dataset.prefetch(lookahead=max(4, 2 * batch_images)):
         key = (sample.img.shape,
                tuple(sample.meta.get("ori_shape", sample.img.shape[:2]))[:2])
         if buf and (key != buf_key[0] or len(buf) >= max(batch_images, 1)):
@@ -152,6 +189,9 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     flush()
     while pending:
         consume(pending.pop(0))
+    # ONE tiny device->host transfer for the whole eval: the accumulated
+    # [4, C] confusion state (also the block that closes the async pipeline)
+    metric.merge(np.asarray(dev_state[0], np.float64))
     elapsed = time.perf_counter() - t0
 
     results = metric.compute()
