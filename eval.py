@@ -33,9 +33,10 @@ def parse_args():
                         help="opt-in reduced-stage JBU fast mode (default 4 "
                              "= reference semantics; see benchmarks/PERF.md)")
     parser.add_argument("--max-samples", type=int, default=None)
-    parser.add_argument("--batch-images", type=int, default=1,
+    parser.add_argument("--batch-images", type=int, default=8,
                         help="fuse N same-shape images into one dispatch "
-                             "(cross-image tile batching)")
+                             "(cross-image tile batching; predictions are "
+                             "identical to --batch-images 1 — tested)")
     parser.add_argument("--shard", default="0/1", help="rank/world for dataset sharding")
     parser.add_argument("--merge", default=None, metavar="DIST_DIR",
                         help="merge per-rank metric states under DIST_DIR "

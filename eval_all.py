@@ -38,7 +38,7 @@ def main():
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--jbu-stages", type=int, default=None,
                         help="opt-in reduced-stage JBU fast mode (see eval.py)")
-    parser.add_argument("--batch-images", type=int, default=1,
+    parser.add_argument("--batch-images", type=int, default=8,
                         help="cross-image tile batching (see eval.py)")
     parser.add_argument("--json-out", default=None,
                         help="also write the summary dict to this file")

@@ -162,11 +162,18 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     def flush():
         if not buf:
             return
-        if len(buf) == 1:
+        target = max(batch_images, 1)
+        if target == 1:
             results = segmentor.predict_raw(buf[0].img[None], [buf[0].meta])
         else:
+            # pad a partial tail batch by repeating the last image: the
+            # full-size program is already compiled, so the tail costs a
+            # little wasted compute instead of a whole second XLA compile
+            # (~40-60 s through the tunnel) for its odd geometry
+            k = len(buf)
+            run = buf + [buf[-1]] * (target - k)
             results = segmentor.predict_batch_raw(
-                np.stack([s.img for s in buf]), [s.meta for s in buf])
+                np.stack([s.img for s in run]), [s.meta for s in run])[:k]
         pending.append([(r, s.seg) for r, s in zip(results, buf)])
         while len(pending) > depth:
             consume(pending.pop(0))

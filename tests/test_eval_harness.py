@@ -140,6 +140,24 @@ def test_run_eval_synthetic(tiny_cfg_file, tmp_path):
     assert "mIoU" in line
 
 
+def test_run_eval_batched_tail_padding(tiny_cfg_file, tmp_path):
+    """batch_images larger than the dataset: the tail batch pads by
+    repeating the last image (one compiled program per geometry) and the
+    metrics equal the per-image path exactly."""
+    from rs_ov.evalsuite.runner import build_segmentor_from_config, run_eval
+
+    cfg = load_config(tiny_cfg_file)
+    seg = build_segmentor_from_config(
+        cfg, {"clip_config": TINY, "param_dtype": jnp.float32})
+    base = run_eval(tiny_cfg_file, work_dir=str(tmp_path / "b1"),
+                    segmentor=seg, batch_images=1, verbose=False)
+    batched = run_eval(tiny_cfg_file, work_dir=str(tmp_path / "b2"),
+                       segmentor=seg, batch_images=2, verbose=False)
+    assert batched["num_images"] == base["num_images"] == 3
+    for k in ("aAcc", "mIoU", "mAcc"):
+        assert abs(batched[k] - base[k]) < 1e-9, (k, batched[k], base[k])
+
+
 @pytest.mark.parametrize("opts", [
     {"apply_som": True},
     {"apply_cross_tile_fusion": True},
