@@ -24,7 +24,8 @@ from rs_ov.nn.layers import linear
 
 __all__ = ["BlipConfig", "init_blip_params", "blip_params_from_state_dict",
            "bert_params_from_state_dict", "blip_visual_params_from_state_dict",
-           "blip_encode_image", "blip_encode_text"]
+           "blip_encode_image", "blip_encode_text",
+           "blip_multimodal_features", "blip_itm_score"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -306,6 +307,40 @@ def blip_encode_image(params: dict, images: jnp.ndarray, cfg: BlipConfig,
                              ignore_residual=ignore_residual)
     return linear(feats[:, 1:, :], params["vision_proj"]["w"],
                   params["vision_proj"]["b"])
+
+
+def blip_multimodal_features(params: dict, images: jnp.ndarray,
+                             input_ids: jnp.ndarray,
+                             attention_mask: jnp.ndarray,
+                             cfg: BlipConfig) -> jnp.ndarray:
+    """BLIP_Base mode='multimodal' (reference blip.py:62-74): text stream
+    cross-attending over full image tokens -> last hidden state [B, L, H].
+    input_ids[:, 0] must be the [ENC] token (reference :67)."""
+    image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
+    return bert_encode(params["text"], input_ids, attention_mask, cfg.text,
+                       encoder_hidden_states=image_embeds)
+
+
+def blip_itm_score(params: dict, images: jnp.ndarray, input_ids: jnp.ndarray,
+                   attention_mask: jnp.ndarray, cfg: BlipConfig,
+                   match_head: str = "itm") -> jnp.ndarray:
+    """BLIP_ITM forward (reference blip_itm.py:41-67): match_head='itm'
+    returns [B, 2] match logits (multimodal CLS -> itm_head); 'itc' returns
+    the [B, B] image x text cosine-similarity matrix."""
+    if match_head == "itm":
+        hidden = blip_multimodal_features(params, images, input_ids,
+                                          attention_mask, cfg)
+        return linear(hidden[:, 0, :], params["itm_head"]["w"],
+                      params["itm_head"]["b"])
+    if match_head != "itc":
+        raise ValueError(f"match_head must be 'itm' or 'itc', got {match_head!r}")
+    image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
+    image_feat = linear(image_embeds[:, 0, :], params["vision_proj"]["w"],
+                        params["vision_proj"]["b"]).astype(jnp.float32)
+    image_feat = image_feat / jnp.maximum(
+        jnp.linalg.norm(image_feat, axis=-1, keepdims=True), 1e-12)
+    text_feat = blip_encode_text(params, input_ids, attention_mask, cfg)
+    return image_feat @ text_feat.astype(jnp.float32).T
 
 
 def blip_encode_text(params: dict, input_ids: jnp.ndarray,

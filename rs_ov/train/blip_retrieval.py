@@ -109,17 +109,24 @@ def _encode(params, images, input_ids, attn_mask, cfg):
 def make_blip_retrieval_train_step(cfg: BlipConfig, mesh, optimizer=None,
                                    momentum: float = 0.995,
                                    enc_token_id: int = ENC_TOKEN_ID,
-                                   compute_dtype=None):
+                                   compute_dtype=None,
+                                   lm_cfg: dict | None = None):
     """Build the jitted BLIP-ITC/ITM step (reference blip_retrieval.py:72-225).
 
         step(state, opt_state, images, input_ids, attn_mask, idx, alpha, rng)
-          -> (state, opt_state, (loss_ita, loss_itm))
+          -> (state, opt_state, (loss_ita, loss_itm[, loss_lm]))
 
     images [B,3,S,S] / input_ids+attn_mask [B,L] / idx [B] (global image ids
     for duplicate-positive handling) shard over 'data'; alpha is the soft-
     target ramp (reference train script: alpha * step/warmup); rng drives
     hard-negative sampling (the reference's torch.multinomial). The global
     batch must divide the queue size (reference :313 asserts the same).
+
+    lm_cfg={'bos_token_id', 'pad_token_id'} turns the step into the
+    BLIP_Pretrain objective (reference blip_pretrain.py:97-212): ITC + ITM
+    + caption LM through a weight-tied decoder; state must come from
+    init_blip_pretrain_state (adds 'dec_self_attn' + 'lm_head') and the
+    loss tuple gains loss_lm. See make_blip_pretrain_train_step.
     """
     optimizer = optimizer or optax.adamw(1e-5)
     mom = momentum
@@ -203,8 +210,37 @@ def make_blip_retrieval_train_step(cfg: BlipConfig, mesh, optimizer=None,
         loss_itm = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
             vl_logits, itm_labels))
 
-        return loss_ita + loss_itm, (loss_ita, loss_itm,
-                                     image_feat_m, text_feat_m)
+        if lm_cfg is None:
+            return loss_ita + loss_itm, (loss_ita, loss_itm, jnp.float32(0),
+                                         image_feat_m, text_feat_m)
+
+        # ---- LM (BLIP_Pretrain only, reference blip_pretrain.py:199-212):
+        # causal MED decoder over the caption, cross-attending the image
+        # tokens. Weight tying (reference tie_encoder_decoder_weights,
+        # skip_key='/attention'): everything is SHARED with the text
+        # encoder except each layer's self-attention block, which the
+        # decoder owns — assembled functionally per forward, so gradients
+        # flow to one canonical copy of every tied parameter.
+        from rs_ov.nn.blip_lm import IGNORE_INDEX, lm_logits, lm_loss
+
+        dec_text = {
+            "embeddings": cparams["text"]["embeddings"],
+            "layers": [{**enc_layer, **own} for enc_layer, own in
+                       zip(cparams["text"]["layers"],
+                           cparams["dec_self_attn"])],
+        }
+        dec_ids = input_ids.at[:, 0].set(lm_cfg["bos_token_id"])
+        dec_hidden = bert_encode(dec_text, dec_ids, attn_mask, cfg.text,
+                                 encoder_hidden_states=image_embeds,
+                                 encoder_attention_mask=img_atts,
+                                 causal=True)
+        logits = lm_logits(cparams["lm_head"], dec_hidden)
+        targets = jnp.where(dec_ids == lm_cfg["pad_token_id"],
+                            IGNORE_INDEX, dec_ids)
+        loss_lm = lm_loss(logits, targets)
+
+        return loss_ita + loss_itm + loss_lm, (loss_ita, loss_itm, loss_lm,
+                                               image_feat_m, text_feat_m)
 
     def train_step(state, opt_state, images, input_ids, attn_mask, idx,
                    alpha, rng):
@@ -227,7 +263,7 @@ def make_blip_retrieval_train_step(cfg: BlipConfig, mesh, optimizer=None,
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, params_m, queue, images, input_ids, attn_mask, idx,
             alpha, rng)
-        loss_ita, loss_itm, image_feat_m, text_feat_m = aux
+        loss_ita, loss_itm, loss_lm, image_feat_m, text_feat_m = aux
 
         # queue ring update with the momentum features (reference :305-319)
         ptr = queue["ptr"]
@@ -247,7 +283,9 @@ def make_blip_retrieval_train_step(cfg: BlipConfig, mesh, optimizer=None,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         state = {"params": params, "params_m": params_m, "queue": queue}
-        return state, opt_state, (loss_ita, loss_itm)
+        losses = ((loss_ita, loss_itm) if lm_cfg is None
+                  else (loss_ita, loss_itm, loss_lm))
+        return state, opt_state, losses
 
     data_spec = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())

@@ -226,3 +226,48 @@ def test_blip_pipeline_smoke(tiny_vocab, tmp_path):
     img = np.random.RandomState(0).randn(1, 3, 96, 96).astype(np.float32)
     result = seg.predict(img, [{"ori_shape": (96, 96)}])[0]
     assert np.asarray(result["pred_sem_seg"]).shape == (1, 96, 96)
+
+
+def test_blip_itm_and_multimodal_surface():
+    """BLIP_ITM forward (reference blip_itm.py:41-67): 'itm' -> [B, 2]
+    match logits via the multimodal CLS, 'itc' -> [B, B] cosine matrix that
+    must equal the manual proj+normalize composition."""
+    import jax
+
+    from rs_ov.nn.blip import (blip_encode_text, blip_itm_score,
+                               blip_multimodal_features, init_blip_params)
+    from rs_ov.train.blip_retrieval import init_blip_retrieval_state
+
+    cfg = BlipConfig(
+        vision=BlipVisionConfig(image_size=32, patch_size=16, width=32,
+                                layers=2, heads=2),
+        text=BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=2, intermediate_size=64,
+                        max_position_embeddings=16),
+        embed_dim=16)
+    params = init_blip_retrieval_state(jax.random.PRNGKey(0), cfg,
+                                       queue_size=8)["params"]
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 3, 32, 32), jnp.float32)
+    ids = jnp.asarray(rng.randint(4, 60, (2, 7)), jnp.int32)
+    mask = jnp.ones((2, 7), jnp.int32)
+
+    itm = blip_itm_score(params, images, ids, mask, cfg, match_head="itm")
+    assert itm.shape == (2, 2) and np.isfinite(np.asarray(itm)).all()
+
+    itc = np.asarray(blip_itm_score(params, images, ids, mask, cfg,
+                                    match_head="itc"))
+    from rs_ov.nn.blip_vit import blip_vit_forward
+    from rs_ov.nn.layers import linear
+    emb = blip_vit_forward(params["visual"], images, cfg.vision)
+    imf = np.asarray(linear(emb[:, 0, :], params["vision_proj"]["w"],
+                            params["vision_proj"]["b"]))
+    imf = imf / np.linalg.norm(imf, axis=-1, keepdims=True)
+    txf = np.asarray(blip_encode_text(params, ids, mask, cfg))
+    np.testing.assert_allclose(itc, imf @ txf.T, atol=1e-5)
+
+    mm = blip_multimodal_features(params, images, ids, mask, cfg)
+    assert mm.shape == (2, 7, 32)
+
+    with pytest.raises(ValueError, match="match_head"):
+        blip_itm_score(params, images, ids, mask, cfg, match_head="x")

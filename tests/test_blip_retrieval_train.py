@@ -200,3 +200,44 @@ def test_multimodal_bert_matches_reference_med():
         encoder_hidden_states=jnp.asarray(enc),
         encoder_attention_mask=jnp.asarray(enc_mask.astype(np.int32))))
     np.testing.assert_allclose(got, ref.numpy(), atol=2e-5, rtol=2e-4)
+
+
+def test_pretrain_step_adds_lm_with_tied_decoder(batch):
+    """BLIP_Pretrain objective (reference blip_pretrain.py:97-212): the step
+    returns (ita, itm, lm); the decoder shares everything with the text
+    encoder except self-attention (tie_encoder_decoder_weights,
+    skip_key='/attention') — a tied-FFN gradient must flow from the LM loss
+    into the ONE canonical 'text' copy, and the decoder-owned self-attention
+    params must train."""
+    from rs_ov.train.blip_pretrain import (init_blip_pretrain_state,
+                                           make_blip_pretrain_train_step)
+
+    images, ids, mask, idx = batch
+    mesh = make_mesh(data=8, model=1)
+    state = init_blip_pretrain_state(jax.random.PRNGKey(3), TINY, queue_size=Q)
+    step, init_opt = make_blip_pretrain_train_step(
+        TINY, mesh, enc_token_id=ENC, bos_token_id=2, pad_token_id=0)
+    opt_state = init_opt(state["params"])
+
+    dec_before = np.asarray(state["params"]["dec_self_attn"][0]["q_w"])
+    head_before = np.asarray(state["params"]["lm_head"]["t_w"])
+
+    state2, opt_state, (ita, itm, lm) = step(
+        state, opt_state, images, ids, mask, idx, jnp.float32(0.4),
+        jax.random.PRNGKey(4))
+    assert np.isfinite(float(ita)) and np.isfinite(float(itm))
+    assert float(lm) > 0 and np.isfinite(float(lm))
+
+    # decoder-owned self-attention and LM head both moved
+    assert np.abs(np.asarray(state2["params"]["dec_self_attn"][0]["q_w"])
+                  - dec_before).max() > 0
+    assert np.abs(np.asarray(state2["params"]["lm_head"]["t_w"])
+                  - head_before).max() > 0
+    # queue still rotates under the extended state
+    assert int(state2["queue"]["ptr"]) == B
+
+    # second step runs on the donated state (shape/tree stability)
+    state3, opt_state, losses = step(state2, opt_state, images, ids, mask,
+                                     idx, jnp.float32(0.4),
+                                     jax.random.PRNGKey(5))
+    assert len(losses) == 3
