@@ -38,8 +38,9 @@ def main():
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--jbu-stages", type=int, default=None,
                         help="opt-in reduced-stage JBU fast mode (see eval.py)")
-    parser.add_argument("--batch-images", type=int, default=8,
-                        help="cross-image tile batching (see eval.py)")
+    parser.add_argument("--batch-images", type=int, default=1,
+                        help="cross-image tile batching (see eval.py; "
+                             "default 1 on a single chip, raise on a mesh)")
     parser.add_argument("--json-out", default=None,
                         help="also write the summary dict to this file")
     args = parser.parse_args()
