@@ -203,7 +203,11 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
         attempt_values = []
         for a in range(ATTEMPTS):
             best = float("inf")
-            reps = max(1, REPEATS // batch_n)
+            # keep >= 4 dispatches per window even at large batch sizes:
+            # with reps=1 every window serializes upload -> compute ->
+            # download with no pipelining and measures the tunnel, not the
+            # program (observed 22 vs 37 tiles/s at batch 8 purely from this)
+            reps = max(4, REPEATS // batch_n)
             for w in range(WINDOWS):
                 t0 = time.perf_counter()
                 for _ in range(reps):

@@ -68,7 +68,11 @@ def main():
            "config": os.path.basename(CONFIG), "n_images": n,
            "rounds": ROUNDS, "modes": {}}
 
-    for bi in (1, 8):
+    # interleave ALL four measurements per round (bare/eval x batch 1/8):
+    # the chip's multi-minute phase drift otherwise confounds the batch-mode
+    # comparison (observed: batch-1 rounds in a slow phase, batch-8 in a
+    # fast one, flipping the apparent winner between runs)
+    def make_fns(bi):
         def bare_once():
             t0 = time.perf_counter()
             last = None
@@ -89,22 +93,35 @@ def main():
                          batch_images=bi, verbose=False)
             return r["tiles512_per_sec"], r["mIoU"]
 
+        return bare_once, eval_once
+
+    fns = {bi: make_fns(bi) for bi in (1, 8)}
+    miou0 = {}
+    for bi, (bare_once, eval_once) in fns.items():
         bare_once()                      # compile both geometries
-        miou0 = eval_once()[1]
-        rounds = []
-        for _ in range(ROUNDS):
+        miou0[bi] = eval_once()[1]
+        out["modes"][bi] = {"rounds": [], "mIoU": round(float(miou0[bi]), 4)}
+    # bf16 at different batch shapes reorders reductions; on random weights
+    # ~1% of (near-tied) argmaxes flip — mIoU delta measured 1.3e-4. Exact
+    # equality holds in fp32 (tests); here assert metric equivalence only.
+    assert abs(miou0[1] - miou0[8]) < 0.05, (miou0[1], miou0[8])
+
+    for _ in range(ROUNDS):
+        for bi, (bare_once, eval_once) in fns.items():
             b = bare_once()
             e, miou = eval_once()
-            assert abs(miou - miou0) < 1e-6, "eval must be unchanged"
-            rounds.append({"bare": round(b, 2), "eval": round(e, 2),
-                           "ratio": round(e / b, 4)})
+            assert abs(miou - miou0[bi]) < 1e-6, "eval must be unchanged"
+            out["modes"][bi]["rounds"].append(
+                {"bare": round(b, 2), "eval": round(e, 2),
+                 "ratio": round(e / b, 4)})
             print(f"batch={bi}: bare {b:6.2f}  eval {e:6.2f}  "
                   f"ratio {e / b:.3f}", flush=True)
-        out["modes"][bi] = {
-            "rounds": rounds,
-            "median_ratio": round(float(np.median([r["ratio"] for r in rounds])), 4),
-            "mIoU": round(float(miou0), 4),
-        }
+    for bi in fns:
+        rounds = out["modes"][bi]["rounds"]
+        out["modes"][bi]["median_ratio"] = round(
+            float(np.median([r["ratio"] for r in rounds])), 4)
+        out["modes"][bi]["median_eval"] = round(
+            float(np.median([r["eval"] for r in rounds])), 2)
 
     path = os.path.join(REPO, "benchmarks", "eval_overlap_ab.json")
     with open(path, "w") as f:

@@ -35,15 +35,14 @@ def parse_args():
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--batch-images", type=int, default=1,
                         help="fuse N same-shape images into one dispatch "
-                             "(cross-image tile batching; predictions are "
-                             "identical to per-image — tested). Default 1: "
-                             "on ONE chip the fused [N*T]-tile program "
-                             "measures ~15%% (N=2) to ~40%% (N=8) slower "
-                             "per tile than pipelined per-image dispatches "
-                             "(benchmarks/PERF.md round-4); set to a "
-                             "multiple of the mesh size for multi-chip "
-                             "runs, where the union batch's even tile "
-                             "sharding dominates")
+                             "(cross-image tile batching; exactly per-image "
+                             "in fp32, metric-equivalent at bf16 — "
+                             "benchmarks/PERF.md round-4). Default 1: the "
+                             "interleaved eval-loop A/B has per-image at "
+                             "34-35 img/s vs 24-25 batched on ONE chip; "
+                             "set to a multiple of the mesh size for "
+                             "multi-chip runs, where the union batch's "
+                             "even tile sharding dominates")
     parser.add_argument("--shard", default="0/1", help="rank/world for dataset sharding")
     parser.add_argument("--merge", default=None, metavar="DIST_DIR",
                         help="merge per-rank metric states under DIST_DIR "
