@@ -103,10 +103,11 @@ def load_reference_module(name: str):
         load_reference_transformer()
         with _fake_open_clip():
             mod = _load_as(f"open_clip.{name}", f"{REF}/open_clip/{name}.py")
-    elif name == "med":
-        # BLIP's BERT MED (imports only transformers internals). Newer
-        # transformers moved the chunking/pruning helpers from
-        # modeling_utils to pytorch_utils — alias them back for the import.
+    elif name in ("med", "nlvr_encoder"):
+        # BLIP's BERT MED / NLVR twin-cross variant (import only
+        # transformers internals). Newer transformers moved the
+        # chunking/pruning helpers from modeling_utils to pytorch_utils —
+        # alias them back for the import.
         import transformers.modeling_utils as _mu
         import transformers.pytorch_utils as _pu
 
@@ -114,7 +115,7 @@ def load_reference_module(name: str):
                    "find_pruneable_heads_and_indices", "prune_linear_layer"):
             if not hasattr(_mu, _n):
                 setattr(_mu, _n, getattr(_pu, _n))
-        mod = _load_as("ref_med", f"{REF}/BLIP/models/med.py")
+        mod = _load_as(f"ref_{name}", f"{REF}/BLIP/models/{name}.py")
     else:
         mod = _load_as(f"ref_{name}", f"{REF}/{name}.py")
     _loaded[name] = mod

@@ -310,3 +310,52 @@ def test_nlvr_forward_and_loss():
     swapped = jnp.concatenate([images[b:], images[:b]])
     logits_sw = blip_nlvr_forward(params, swapped, ids, mask, cfg)
     assert np.abs(np.asarray(logits) - np.asarray(logits_sw)).max() > 1e-6
+
+
+def test_nlvr_encode_matches_reference_nlvr_encoder():
+    """nlvr_encode == reference BLIP/models/nlvr_encoder.py BertModel with
+    list-valued encoder_hidden_states (twin self0/self1 cross-attention,
+    dense0/dense1 averaged below layer 6, merge_layer concat from layer 6 —
+    :219-345), weights shared through bert_params_from_state_dict. 8 layers
+    so BOTH merge modes are exercised."""
+    import torch
+    from ref_shim import load_reference_module
+
+    nlvr = load_reference_module("nlvr_encoder")
+    hf_cfg = nlvr.BertConfig(vocab_size=80, hidden_size=32,
+                             num_hidden_layers=8, num_attention_heads=2,
+                             intermediate_size=48,
+                             max_position_embeddings=24,
+                             add_cross_attention=True, is_decoder=False)
+    hf_cfg.encoder_width = 20  # image-token width != hidden on purpose
+    torch.manual_seed(0)
+    model = nlvr.BertModel(hf_cfg, add_pooling_layer=False)
+    model.eval()
+
+    sd = {f"text_encoder.{k}": v.detach().numpy()
+          for k, v in model.state_dict().items()}
+    params = bert_params_from_state_dict(sd, "text_encoder")
+    assert "x0q_w" in params["layers"][0] and "x1q_w" in params["layers"][0]
+    assert "merge_w" not in params["layers"][5]
+    assert "merge_w" in params["layers"][6]
+
+    cfg = BertConfig(vocab_size=80, hidden_size=32, num_layers=8,
+                     num_heads=2, intermediate_size=48,
+                     max_position_embeddings=24)
+    rng = np.random.RandomState(2)
+    ids = rng.randint(1, 79, size=(2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    emb0 = rng.randn(2, 5, 20).astype(np.float32)
+    emb1 = rng.randn(2, 5, 20).astype(np.float32)
+    atts = torch.ones((2, 5), dtype=torch.long)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask),
+                    encoder_hidden_states=[torch.from_numpy(emb0),
+                                           torch.from_numpy(emb1)],
+                    encoder_attention_mask=[atts, atts],
+                    return_dict=True).last_hidden_state.numpy()
+    got = np.asarray(nlvr_encode(params, jnp.asarray(ids.astype(np.int32)),
+                                 jnp.asarray(mask.astype(np.int32)),
+                                 jnp.asarray(emb0), jnp.asarray(emb1), cfg))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=2e-4)
