@@ -78,3 +78,49 @@ def test_grad_clip_norm_smoke(tmp_path):
                     "--precision", "fp32",
                     "--ckpt-dir", str(tmp_path / "ck")])
     assert os.path.exists(tmp_path / "ck" / "step_2.npz")
+
+
+import train_blip as train_blip_cli  # noqa: E402
+
+
+@pytest.mark.parametrize("task", ["retrieval", "pretrain", "caption",
+                                  "vqa", "nlvr"])
+def test_blip_tasks_synthetic_smoke(task, tmp_path, capsys):
+    """train_blip.py: every BLIP objective trains on the virtual mesh
+    (reference BLIP train_{retrieval,caption,vqa,nlvr}.py / pretrain.py)."""
+    train_blip_cli.main(["--task", task, "--tiny", "--synthetic",
+                         "--steps", "2", "--batch-size", "8",
+                         "--mesh", "2,1", "--precision", "fp32",
+                         "--log-every", "1",
+                         "--ckpt-dir", str(tmp_path / "ck"),
+                         "--ckpt-every", "2"])
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["step"] == 2
+    for k, v in rec.items():
+        if k.startswith("loss"):
+            assert np.isfinite(v) and v > 0
+    assert os.path.exists(tmp_path / "ck" / "step_0000002.npz")
+
+
+def test_blip_caption_pairs_manifest(tmp_path):
+    """(image, caption) manifest path + WordPiece vocab through the caption
+    objective."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(2):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray((rng.rand(40, 50, 3) * 255).astype("uint8")).save(p)
+        lines.append(f"{p}\tan aerial image number {i}")
+    (tmp_path / "pairs.tsv").write_text("\n".join(lines))
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "an", "aerial", "image",
+             "number", "0", "1"] + [f"w{i}" for i in range(52)]
+    (tmp_path / "vocab.txt").write_text("\n".join(words))
+    last = train_blip_cli.main(
+        ["--task", "caption", "--tiny", "--data",
+         str(tmp_path / "pairs.tsv"), "--vocab", str(tmp_path / "vocab.txt"),
+         "--steps", "2", "--batch-size", "2", "--mesh", "1,1",
+         "--precision", "fp32", "--log-every", "1"])
+    assert np.isfinite(last["loss"])
