@@ -161,17 +161,30 @@ def main() -> None:
                              "mfu_pct": round(100 * tfps / PEAK_BF16_TFLOPS, 1),
                              "source": f"components.json {key} - floor"})
 
-    headline = None
-    bench_path = os.path.join(repo, "benchmarks", "bench_r2.json")
-    if os.path.exists(bench_path):
-        with open(bench_path) as f:
+    # newest committed headline, numeric round order (not lexicographic —
+    # round-3 ADVICE: 'bench_r9' would sort after 'bench_r10')
+    import glob
+    import re
+
+    headline, bench_name = None, None
+    cands = sorted(
+        glob.glob(os.path.join(repo, "benchmarks", "bench_r*.json")),
+        key=lambda p: int(re.search(r"bench_r(\d+)", p).group(1)))
+    if cands:
+        bench_name = os.path.basename(cands[-1])
+        with open(cands[-1]) as f:
             headline = json.load(f).get("value")
     if headline:
-        rows.append({"phase": "whole pipeline", "gflops": round(fl["total"], 1),
+        # the committed headline runs the DEFAULT recipe = 3-stage fast mode
+        # (upsample/jbu.py RS_OV_JBU_STAGES default); account it stage-aware
+        stages = int(os.environ.get("RS_OV_JBU_STAGES", "3"))
+        fl_h = flops_512_image(stages=stages)
+        rows.append({"phase": f"whole pipeline (stages={stages})",
+                     "gflops": round(fl_h["total"], 1),
                      "ms": round(1e3 / headline, 2),
-                     "tflops_per_s": round(headline * fl["total"] / 1e3, 1),
-                     "mfu_pct": round(mfu_pct(headline), 1),
-                     "source": f"bench_r2.json headline {headline} tiles/s"})
+                     "tflops_per_s": round(headline * fl_h["total"] / 1e3, 1),
+                     "mfu_pct": round(mfu_pct(headline, stages=stages), 1),
+                     "source": f"{bench_name} headline {headline} tiles/s"})
 
     out = {
         "peak_bf16_tflops": PEAK_BF16_TFLOPS,
