@@ -124,3 +124,55 @@ def test_blip_caption_pairs_manifest(tmp_path):
          "--steps", "2", "--batch-size", "2", "--mesh", "1,1",
          "--precision", "fp32", "--log-every", "1"])
     assert np.isfinite(last["loss"])
+
+
+def test_randaugment_ops_and_cli(tmp_path):
+    """RandomAugment (reference BLIP/transform/randaugment.py surface):
+    every op produces a valid uint8 image; PIL-oracle checks for the ops
+    the reference docstrings define as 'same output as PIL.ImageOps.*';
+    --augment path trains."""
+    from PIL import Image, ImageOps
+
+    from rs_ov.data.randaugment import RandomAugment
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (48, 40, 3)).astype(np.uint8)
+    ra = RandomAugment(2, 5, seed=0)
+    for name in ("Identity", "AutoContrast", "Equalize", "Rotate",
+                 "Solarize", "Color", "Contrast", "Brightness", "Sharpness",
+                 "ShearX", "ShearY", "TranslateX", "TranslateY", "Posterize"):
+        from rs_ov.data.randaugment import _level_args
+        out = ra._apply(Image.fromarray(img), name, _level_args(5.0)[name])
+        arr = np.asarray(out)
+        assert arr.shape == img.shape and arr.dtype == np.uint8, name
+
+    # PIL-oracle: the deterministic ops must BE the PIL ops
+    pil = Image.fromarray(img)
+    np.testing.assert_array_equal(
+        np.asarray(ra._apply(pil, "AutoContrast", ())),
+        np.asarray(ImageOps.autocontrast(pil)))
+    np.testing.assert_array_equal(
+        np.asarray(ra._apply(pil, "Equalize", ())),
+        np.asarray(ImageOps.equalize(pil)))
+
+    # deterministic under a fixed seed; N=2 ops applied
+    a = RandomAugment(2, 5, seed=3)(img)
+    b = RandomAugment(2, 5, seed=3)(img)
+    np.testing.assert_array_equal(a, b)
+
+    # --augment through the caption CLI
+    lines = []
+    for i in range(2):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(rng.randint(0, 256, (40, 50, 3)).astype("uint8")).save(p)
+        lines.append(f"{p}\tan aerial image number {i}")
+    (tmp_path / "pairs.tsv").write_text("\n".join(lines))
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "an", "aerial", "image",
+             "number", "0", "1"] + [f"w{i}" for i in range(52)]
+    (tmp_path / "vocab.txt").write_text("\n".join(words))
+    last = train_blip_cli.main(
+        ["--task", "caption", "--tiny", "--data",
+         str(tmp_path / "pairs.tsv"), "--vocab", str(tmp_path / "vocab.txt"),
+         "--augment", "--steps", "2", "--batch-size", "2", "--mesh", "1,1",
+         "--precision", "fp32", "--log-every", "1"])
+    assert np.isfinite(last["loss"])

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     ap.add_argument("--vocab", default=None,
                     help="BERT vocab.txt for WordPiece tokenization")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--augment", action="store_true",
+                    help="RandomAugment(2, 5) on manifest images (the "
+                         "reference BLIP train pipelines' transform)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--context-length", type=int, default=30)
@@ -152,6 +155,16 @@ def _pair_batches(args, cfg, rng):
     if not pairs:
         sys.exit(f"no (image, caption) pairs in {args.data}")
     print(f"[train_blip] {len(pairs)} image-text pairs", flush=True)
+    aug = None
+    if args.augment:
+        from rs_ov.data.randaugment import RandomAugment
+
+        # the reference train scripts' recipe: RandomAugment(2, 5, augs=[...])
+        aug = RandomAugment(2, 5, isPIL=True,
+                            augs=["Identity", "AutoContrast", "Brightness",
+                                  "Sharpness", "Equalize", "ShearX",
+                                  "ShearY", "TranslateX", "TranslateY",
+                                  "Rotate"], seed=args.seed)
     mean = np.asarray((0.48145466, 0.4578275, 0.40821073), np.float32)
     std = np.asarray((0.26862954, 0.26130258, 0.27577711), np.float32)
     s = cfg.vision.image_size
@@ -163,7 +176,10 @@ def _pair_batches(args, cfg, rng):
         for _ in range(b):
             gid = int(order[i])
             img_path, cap = pairs[gid]
-            x = np.asarray(load_image(img_path), np.float32) / 255.0
+            raw = load_image(img_path)
+            if aug is not None:
+                raw = aug(raw)
+            x = np.asarray(raw, np.float32) / 255.0
             x = np.asarray(resize_bicubic(jnp.asarray(x.transpose(2, 0, 1)),
                                           (s, s)))
             imgs.append((x - mean[:, None, None]) / std[:, None, None])
