@@ -47,7 +47,7 @@ __all__ = [
     "make_caption_step", "generate_captions", "init_blip_decoder_params",
     "blip_decoder_params_from_state_dict",
     "init_blip_vqa_params", "blip_vqa_params_from_state_dict",
-    "blip_vqa_loss", "vqa_rank_answers",
+    "blip_vqa_loss", "vqa_rank_answers", "vqa_generate_answers",
     "nlvr_encode", "blip_nlvr_forward", "init_blip_nlvr_params",
     "blip_nlvr_params_from_state_dict",
 ]
@@ -200,6 +200,48 @@ def blip_caption_loss(params: dict, images: jnp.ndarray,
     return lm_loss(logits, targets, reduction=reduction)
 
 
+def _penalised(logits, ids_so_far, penalty):
+    """HF RepetitionPenaltyLogitsProcessor math (reference blip.py:152)."""
+    if penalty != 1.0 and len(ids_so_far):
+        prev = np.unique(np.asarray(ids_so_far, np.int64))
+        sel = logits[prev]
+        logits = logits.copy()
+        logits[prev] = np.where(sel > 0, sel / penalty, sel * penalty)
+    return logits
+
+
+def _beam_search(step1, prefix, eos, num_beams, max_length, min_length,
+                 repetition_penalty):
+    """Plain length-unnormalised beam with early-eos (the HF beam role in
+    reference blip.py:160-166). step1(ids [B, max_length], pos) -> [B, V]
+    host logits; returns the best finished token sequence."""
+    beams = [(0.0, list(prefix))]
+    finished = []
+    for pos in range(len(prefix) - 1, max_length - 1):
+        ids = np.zeros((len(beams), max_length), np.int32)
+        for b, (_, s) in enumerate(beams):
+            ids[b, :len(s)] = s
+        logits = step1(ids, pos)
+        nxt_beams = []
+        for b, (score, s) in enumerate(beams):
+            lg = _penalised(logits[b], s, repetition_penalty)
+            if pos - len(prefix) + 2 <= min_length:
+                lg[eos] = -1e9
+            logp = lg - np.log(np.exp(lg - lg.max()).sum()) - lg.max()
+            for t in np.argsort(-logp)[:num_beams]:
+                cand = (score + float(logp[t]), s + [int(t)])
+                if t == eos:
+                    finished.append(cand)
+                else:
+                    nxt_beams.append(cand)
+        beams = sorted(nxt_beams, key=lambda c: -c[0])[:num_beams]
+        if not beams or (len(finished) >= num_beams and
+                         finished[0][0] >= beams[0][0]):
+            break
+    finished.extend(beams)
+    return max(finished, key=lambda c: c[0])[1]
+
+
 def make_caption_step(params: dict, cfg: BlipConfig, max_length: int):
     """Jitted fixed-shape decode step: (ids [B, max_length] padded,
     position `pos`, image_embeds) -> next-token logits [B, V] at `pos`.
@@ -238,14 +280,6 @@ def generate_captions(params: dict, images: jnp.ndarray, cfg: BlipConfig,
     if sample and rng is None:
         rng = np.random.RandomState(0)
 
-    def penalised(logits, ids_so_far, penalty):
-        if penalty != 1.0 and len(ids_so_far):
-            prev = np.unique(np.asarray(ids_so_far, np.int64))
-            sel = logits[prev]
-            logits = logits.copy()
-            logits[prev] = np.where(sel > 0, sel / penalty, sel * penalty)
-        return logits
-
     captions = []
     for i in range(n_img):
         embs_i = image_embeds[i:i + 1]
@@ -255,7 +289,7 @@ def generate_captions(params: dict, images: jnp.ndarray, cfg: BlipConfig,
             seq = list(prefix)
             for pos in range(len(prefix) - 1, max_length - 1):
                 logits = np.array(step(jnp.asarray(ids), pos, embs_i))[0]
-                logits = penalised(logits, seq, 1.1)
+                logits = _penalised(logits, seq, 1.1)
                 if pos - len(prefix) + 2 <= min_length:
                     logits[eos] = -1e9
                 p = np.exp(logits - logits.max())
@@ -273,32 +307,11 @@ def generate_captions(params: dict, images: jnp.ndarray, cfg: BlipConfig,
                     break
             outs = [seq]
         else:
-            beams = [(0.0, list(prefix))]
-            finished = []
-            for pos in range(len(prefix) - 1, max_length - 1):
-                ids = np.zeros((len(beams), max_length), np.int32)
-                for b, (_, s) in enumerate(beams):
-                    ids[b, :len(s)] = s
-                logits = np.array(step(jnp.asarray(ids), pos,
-                                       jnp.repeat(embs_i, len(beams), 0)))
-                nxt_beams = []
-                for b, (score, s) in enumerate(beams):
-                    lg = penalised(logits[b], s, repetition_penalty)
-                    if pos - len(prefix) + 2 <= min_length:
-                        lg[eos] = -1e9
-                    logp = lg - np.log(np.exp(lg - lg.max()).sum()) - lg.max()
-                    for t in np.argsort(-logp)[:num_beams]:
-                        cand = (score + float(logp[t]), s + [int(t)])
-                        if t == eos:
-                            finished.append(cand)
-                        else:
-                            nxt_beams.append(cand)
-                beams = sorted(nxt_beams, key=lambda c: -c[0])[:num_beams]
-                if not beams or (len(finished) >= num_beams and
-                                 finished[0][0] >= beams[0][0]):
-                    break
-            finished.extend(beams)
-            outs = [max(finished, key=lambda c: c[0])[1]]
+            def step1(ids, pos):
+                return np.array(step(jnp.asarray(ids), pos,
+                                     jnp.repeat(embs_i, len(ids), 0)))
+            outs = [_beam_search(step1, prefix, eos, num_beams, max_length,
+                                 min_length, repetition_penalty)]
         text = tokenizer.decode(outs[0], skip_special_tokens=True)
         captions.append(text[len(prompt):] if text.startswith(prompt)
                         else text)
@@ -400,6 +413,45 @@ def vqa_rank_answers(params: dict, images: jnp.ndarray,
         return jnp.take_along_axis(topk_ids, best[:, None], axis=1)[:, 0]
 
     return rank(params, images, q_ids, q_mask, answer_ids, answer_mask)
+
+
+def vqa_generate_answers(params: dict, images: jnp.ndarray,
+                         q_ids: jnp.ndarray, q_mask: jnp.ndarray,
+                         cfg: BlipConfig, tokenizer, num_beams: int = 3,
+                         max_length: int = 10,
+                         min_length: int = 1) -> list[str]:
+    """'generate' inference (reference blip_vqa.py:96-112): the answer
+    decoder beam-searches from a bare bos over question states (question
+    encoder output, image-conditioned), eos = [SEP]. q_ids[:, 0] must be the
+    [ENC] token (reference :54)."""
+    image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
+    q_states = bert_encode(params["text_encoder"], q_ids, q_mask, cfg.text,
+                           encoder_hidden_states=image_embeds)
+
+    @jax.jit
+    def step(ids, pos, qs, qm):
+        mask = (jnp.arange(max_length)[None, :] <= pos).astype(jnp.int32)
+        hidden = bert_encode(params["text_decoder"], ids, mask, cfg.text,
+                             encoder_hidden_states=qs,
+                             encoder_attention_mask=qm, causal=True)
+        return lm_logits(params["lm_head"], hidden)[:, pos, :].astype(
+            jnp.float32)
+
+    eos = tokenizer.sep_token_id
+    prefix = np.asarray([tokenizer.bos_token_id], np.int64)
+    answers = []
+    for i in range(q_states.shape[0]):
+        qs_i, qm_i = q_states[i:i + 1], jnp.asarray(q_mask)[i:i + 1]
+
+        def step1(ids, pos):
+            return np.array(step(jnp.asarray(ids), pos,
+                                 jnp.repeat(qs_i, len(ids), 0),
+                                 jnp.repeat(qm_i, len(ids), 0)))
+
+        seq = _beam_search(step1, prefix, eos, num_beams, max_length,
+                           min_length, 1.0)
+        answers.append(tokenizer.decode(seq, skip_special_tokens=True))
+    return answers
 
 
 # ---------------------------------------------------------------------------

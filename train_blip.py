@@ -76,6 +76,14 @@ def parse_args(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--evaluate", action="store_true",
+                    help="retrieval only: skip training and run the ITC->ITM "
+                         "rerank evaluation + recall@K (the reference "
+                         "train_retrieval.py --evaluate mode)")
+    ap.add_argument("--k-test", type=int, default=16,
+                    help="ITM rerank shortlist size (reference k_test)")
+    ap.add_argument("--eval-samples", type=int, default=64,
+                    help="--evaluate set size (manifest rows or synthetic)")
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the arch to a debug size (smoke tests)")
     return ap.parse_args(argv)
@@ -201,10 +209,46 @@ def _pair_batches(args, cfg, rng):
         step += 1
 
 
+def _run_retrieval_eval(args, cfg, params, rng):
+    """The reference train_retrieval.py --evaluate flow: evaluation() ->
+    itm_eval() -> metrics JSON (reference :289-302), on synthetic pairs or
+    the --data manifest (i-th image <-> i-th caption)."""
+    from rs_ov.evalsuite.retrieval import blip_retrieval_evaluation
+
+    n = max(args.eval_samples, args.k_test)
+    if args.synthetic:
+        s = cfg.vision.image_size
+        images = rng.randn(n, 3, s, s).astype(np.float32)
+        ids = rng.randint(4, cfg.text.vocab_size,
+                          (n, args.context_length)).astype(np.int32)
+        mask = np.ones_like(ids)
+    else:
+        imgs, idss, masks, got = [], [], [], 0
+        for batch in _pair_batches(args, cfg, rng):
+            imgs.append(batch["images"])
+            idss.append(batch["ids"])
+            masks.append(batch["mask"])
+            got += len(batch["images"])
+            if got >= n:
+                break
+        images = np.concatenate(imgs)[:n]
+        ids = np.concatenate(idss)[:n].astype(np.int32)
+        mask = np.concatenate(masks)[:n].astype(np.int32)
+    m = blip_retrieval_evaluation(
+        params, cfg, images, ids, mask, 3 if args.tiny else 30523,
+        txt2img=list(range(len(images))),
+        img2txt=[[i] for i in range(len(images))], k_test=args.k_test,
+        log=lambda s: print(f"[eval] {s}", flush=True))
+    print(json.dumps({k: round(v, 3) for k, v in m.items()}))
+    return m
+
+
 def main(argv=None):
     args = parse_args(argv)
     if not args.synthetic and not args.data:
         sys.exit("pass --data <manifest-or-dir> or --synthetic")
+    if args.evaluate and args.task != "retrieval":
+        sys.exit("--evaluate is the retrieval-task eval mode")
     if args.data and args.task in ("vqa", "nlvr"):
         sys.exit(f"--data for {args.task} needs task-specific annotation "
                  "formats; use --synthetic (smoke) or the library API")
@@ -272,6 +316,10 @@ def main(argv=None):
 
             state["params"].update(blip_params_from_state_dict(
                 load_torch_state_dict(args.pretrained)))
+        if args.evaluate:
+            if args.task != "retrieval":
+                sys.exit("--evaluate is the retrieval-task eval mode")
+            return _run_retrieval_eval(args, cfg, state["params"], rng)
         opt_state = init_opt(state["params"])
 
         def run_step(i, batch, k):
