@@ -51,6 +51,43 @@ def parse_args():
     return parser.parse_args()
 
 
+def build_model_overrides(checkpoint, upsampler_checkpoint, jbu_stages):
+    """Resolve CLI checkpoint/stage flags into segmentor overrides.
+
+    Parity pin: when real weights are supplied (--checkpoint /
+    --upsampler-checkpoint) and the caller did NOT explicitly request a
+    stage count, num_stages is pinned to 4 — strict reference semantics
+    (reference simfeatup_dev/upsamplers.py:304-325 is a fixed 4-stage 16x).
+    Without this, the BASELINE.md ±0.1 mIoU gate would silently compare the
+    certified-but-approximate 3-stage fast mode against the 4-stage
+    reference. Fast mode on real weights is opt-in: pass --jbu-stages 3 or
+    set RS_OV_JBU_STAGES (the env override wins inside SegmentorEx and a
+    loud warning is printed here).
+    """
+    overrides = {}
+    if checkpoint:
+        overrides["checkpoint_path"] = checkpoint
+    if upsampler_checkpoint:
+        overrides["sim_feat_up_cfg"] = {"model_name": "jbu_one",
+                                        "model_path": upsampler_checkpoint}
+    if jbu_stages is not None:
+        cfg = dict(overrides.get("sim_feat_up_cfg") or {"model_name": "jbu_one"})
+        cfg["num_stages"] = jbu_stages
+        overrides["sim_feat_up_cfg"] = cfg
+    elif checkpoint or upsampler_checkpoint:
+        cfg = dict(overrides.get("sim_feat_up_cfg") or {"model_name": "jbu_one"})
+        cfg["num_stages"] = 4
+        overrides["sim_feat_up_cfg"] = cfg
+        env = os.environ.get("RS_OV_JBU_STAGES")
+        if env is not None and env != "4":
+            import sys
+
+            print(f"WARNING: RS_OV_JBU_STAGES={env} overrides the checkpoint "
+                  "parity pin (num_stages=4); this run is NOT a reference-"
+                  "semantics parity run", file=sys.stderr, flush=True)
+    return overrides
+
+
 def main():
     args = parse_args()
     if args.merge:
@@ -73,16 +110,8 @@ def main():
 
     from rs_ov.evalsuite.runner import run_eval
 
-    overrides = {}
-    if args.checkpoint:
-        overrides["checkpoint_path"] = args.checkpoint
-    if args.upsampler_checkpoint:
-        overrides["sim_feat_up_cfg"] = {"model_name": "jbu_one",
-                                        "model_path": args.upsampler_checkpoint}
-    if args.jbu_stages is not None:
-        cfg = dict(overrides.get("sim_feat_up_cfg") or {"model_name": "jbu_one"})
-        cfg["num_stages"] = args.jbu_stages
-        overrides["sim_feat_up_cfg"] = cfg
+    overrides = build_model_overrides(args.checkpoint, args.upsampler_checkpoint,
+                                      args.jbu_stages)
 
     results = run_eval(args.config, work_dir=args.work_dir, shard=(rank, world),
                        max_samples=args.max_samples, model_overrides=overrides,
@@ -90,7 +119,8 @@ def main():
                        batch_images=args.batch_images)
     print(json.dumps({k: results[k] for k in
                       ("aAcc", "mIoU", "mAcc", "num_images", "tiles512_per_sec",
-                       "tiles512_per_sec_steady") if k in results},
+                       "tiles512_per_sec_steady", "img_per_sec_sustained",
+                       "tiles512_per_sec_sustained") if k in results},
                      indent=2))
 
 

@@ -36,8 +36,12 @@ def main():
     parser.add_argument("--work-dir", default="work_dirs/all")
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--upsampler-checkpoint", default=None,
+                        help="SimFeatUp checkpoint path (see eval.py)")
     parser.add_argument("--jbu-stages", type=int, default=None,
-                        help="opt-in reduced-stage JBU fast mode (see eval.py)")
+                        help="opt-in reduced-stage JBU fast mode (see eval.py; "
+                             "when --checkpoint is passed without this flag, "
+                             "num_stages is pinned to 4 = reference parity)")
     parser.add_argument("--batch-images", type=int, default=1,
                         help="cross-image tile batching (see eval.py; "
                              "default 1 on a single chip, raise on a mesh)")
@@ -45,11 +49,13 @@ def main():
                         help="also write the summary dict to this file")
     args = parser.parse_args()
 
+    from eval import build_model_overrides
     from rs_ov.evalsuite.runner import run_eval
 
-    overrides = {"checkpoint_path": args.checkpoint} if args.checkpoint else {}
-    if args.jbu_stages is not None:
-        overrides["sim_feat_up_cfg"] = {"num_stages": args.jbu_stages}
+    # checkpoint without --jbu-stages pins num_stages=4 (reference parity
+    # semantics) — see eval.build_model_overrides
+    overrides = build_model_overrides(args.checkpoint, args.upsampler_checkpoint,
+                                      args.jbu_stages)
     summary = {}
     for config in CONFIGS:
         print(f"Running {config}", flush=True)
@@ -58,7 +64,8 @@ def main():
                          max_samples=args.max_samples, model_overrides=overrides,
                          batch_images=args.batch_images)
             keys = ("aAcc", "mIoU", "mAcc", "num_images",
-                    "tiles512_per_sec", "tiles512_per_sec_steady")
+                    "tiles512_per_sec", "tiles512_per_sec_steady",
+                    "img_per_sec_sustained", "tiles512_per_sec_sustained")
             summary[config] = {k: r[k] for k in keys if k in r}
         except FileNotFoundError as e:
             summary[config] = {"error": f"dataset missing: {e}"}

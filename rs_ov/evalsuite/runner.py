@@ -102,7 +102,11 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     n = len(dataset)
     t0 = time.perf_counter()
     pixels = 0
+    images_done = 0
     warm = [0.0, 0]  # (time, pixels) after the first image — i.e. post-compile
+    # (time, images, pixels) after each consumed batch — basis for the
+    # sustained rate (compile + first post-compile batch excluded)
+    marks: list[tuple[float, int, int]] = []
 
     # on-device metric accumulation: uint8 labels ride up with the batch,
     # the [4, C] confusion state stays device-resident, and predictions
@@ -121,7 +125,7 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
         one device array — concatenate ON DEVICE and fold into the device
         confusion state; only images without GT (or non-uint8 labels) take
         the host download path."""
-        nonlocal pixels
+        nonlocal pixels, images_done
         with_gt, host = [], []
         for r, s in batch:
             if s is not None and int(s.max(initial=0)) <= 255:
@@ -141,8 +145,10 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
             pixels += pred.size
             if s is not None:
                 metric.process(pred, s)
+        images_done += len(batch)
         if not warm[1]:
             warm[0], warm[1] = time.perf_counter(), pixels
+        marks.append((time.perf_counter(), images_done, pixels))
 
     # software pipeline: enqueue batch i's (uint8, device-normalised) upload +
     # compute, then block on batch i-depth's results — the host-side pred
@@ -206,11 +212,26 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
     results["elapsed_sec"] = elapsed
     results["tiles512_per_sec"] = (pixels / (512.0 * 512.0)) / elapsed if elapsed else 0.0
     # steady-state rate excludes the first image (which pays the per-geometry
-    # XLA compile) — the number comparable to bench.py's warm headline
+    # XLA compile) — the number comparable to bench.py's warm headline.
+    # NOTE it OVERSTATES under the depth-2 pipeline (batches already in
+    # flight when the first consume stamps warm[0]); img_per_sec_sustained
+    # below is the honest loop number — prefer it.
     steady_t = t0 + elapsed - warm[0]
     if n > 1 and steady_t > 0:
         results["tiles512_per_sec_steady"] = (
             (pixels - warm[1]) / (512.0 * 512.0)) / steady_t
+    # sustained rate (round-4 VERDICT #7): anchor at the SECOND consumed
+    # batch (the compile batch and the first post-compile batch are both
+    # excluded) and end at the post-drain device sync above — the number
+    # consistent with benchmarks/eval_overlap_ab.json's interleaved loop
+    # measurement, fit for headline use without caveats
+    if len(marks) > 2:
+        t_ref, img_ref, px_ref = marks[1]
+        dt = (t0 + elapsed) - t_ref
+        if dt > 0 and images_done > img_ref:
+            results["img_per_sec_sustained"] = (images_done - img_ref) / dt
+            results["tiles512_per_sec_sustained"] = (
+                (pixels - px_ref) / (512.0 * 512.0)) / dt
 
     os.makedirs(work_dir, exist_ok=True)
     tag = os.path.splitext(os.path.basename(config_path))[0]

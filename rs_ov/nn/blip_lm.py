@@ -214,7 +214,12 @@ def _beam_search(step1, prefix, eos, num_beams, max_length, min_length,
                  repetition_penalty):
     """Plain length-unnormalised beam with early-eos (the HF beam role in
     reference blip.py:160-166). step1(ids [B, max_length], pos) -> [B, V]
-    host logits; returns the best finished token sequence."""
+    host logits; returns the best finished token sequence.
+
+    min_length follows HF MinLengthLogitsProcessor semantics: EOS is banned
+    while the TOTAL sequence length (prompt included) is < min_length —
+    i.e. the prompt counts, and min_length=1 never bans (HF allows EOS at
+    the first step)."""
     beams = [(0.0, list(prefix))]
     finished = []
     for pos in range(len(prefix) - 1, max_length - 1):
@@ -225,7 +230,7 @@ def _beam_search(step1, prefix, eos, num_beams, max_length, min_length,
         nxt_beams = []
         for b, (score, s) in enumerate(beams):
             lg = _penalised(logits[b], s, repetition_penalty)
-            if pos - len(prefix) + 2 <= min_length:
+            if pos + 1 < min_length:
                 lg[eos] = -1e9
             logp = lg - np.log(np.exp(lg - lg.max()).sum()) - lg.max()
             for t in np.argsort(-logp)[:num_beams]:
@@ -290,7 +295,8 @@ def generate_captions(params: dict, images: jnp.ndarray, cfg: BlipConfig,
             for pos in range(len(prefix) - 1, max_length - 1):
                 logits = np.array(step(jnp.asarray(ids), pos, embs_i))[0]
                 logits = _penalised(logits, seq, 1.1)
-                if pos - len(prefix) + 2 <= min_length:
+                # HF MinLengthLogitsProcessor: total length, prompt counts
+                if pos + 1 < min_length:
                     logits[eos] = -1e9
                 p = np.exp(logits - logits.max())
                 p /= p.sum()
@@ -423,10 +429,16 @@ def vqa_generate_answers(params: dict, images: jnp.ndarray,
     """'generate' inference (reference blip_vqa.py:96-112): the answer
     decoder beam-searches from a bare bos over question states (question
     encoder output, image-conditioned), eos = [SEP]. q_ids[:, 0] must be the
-    [ENC] token (reference :54)."""
+    [ENC] token (reference :54).
+
+    Decoder cross-attention uses an ALL-ONES mask over the question states
+    — the reference generate path builds question_atts = torch.ones(...)
+    (blip_vqa.py:94), so padded question positions ARE attended during
+    decoding (unlike the 'rank' path, which gates with the real q_mask)."""
     image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
     q_states = bert_encode(params["text_encoder"], q_ids, q_mask, cfg.text,
                            encoder_hidden_states=image_embeds)
+    q_mask = jnp.ones_like(jnp.asarray(q_mask))
 
     @jax.jit
     def step(ids, pos, qs, qm):

@@ -274,7 +274,7 @@ def test_vqa_generate_answers(vqa, tmp_path):
     q_ids = rng.randint(4, 60, size=(nq, 6)).astype(np.int32)
     q_ids[:, 0] = tok.enc_token_id
     q_mask = np.ones((nq, 6), np.int32)
-    q_mask[1, 4:] = 0  # padded question — its mask must gate cross-attn
+    q_mask[1, 4:] = 0  # padded question — gates the question ENCODER only
 
     ans = vqa_generate_answers(params, images, jnp.asarray(q_ids),
                                jnp.asarray(q_mask), cfg, tok,
@@ -283,12 +283,51 @@ def test_vqa_generate_answers(vqa, tmp_path):
     assert ans == vqa_generate_answers(params, images, jnp.asarray(q_ids),
                                        jnp.asarray(q_mask), cfg, tok,
                                        num_beams=2, max_length=8)
-    # question padding must change the answer path vs an all-ones mask
-    # (encoder_attention_mask is threaded, reference blip_vqa.py:104-106)
-    ans_full = vqa_generate_answers(params, images, jnp.asarray(q_ids),
-                                    jnp.ones_like(q_mask), cfg, tok,
-                                    num_beams=2, max_length=8)
-    assert isinstance(ans_full, list)  # runs; content may or may not differ
+
+    # Reference decode semantics (blip_vqa.py:94): question_atts =
+    # torch.ones(...) — the DECODER cross-attends ALL question positions,
+    # padded included; only the question encoder sees the real mask.
+    # Verify at the logits level: with the padded row's q_states, the
+    # first-step decoder logits under an all-ones cross-attn mask must
+    # differ from the q_mask-gated variant (i.e. the mask choice is live),
+    # and vqa_generate_answers' first token must follow the all-ones one.
+    from rs_ov.nn.blip_lm import lm_logits
+    from rs_ov.nn.blip_vit import blip_vit_forward
+
+    image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
+    q_states = bert_encode(params["text_encoder"], jnp.asarray(q_ids),
+                           jnp.asarray(q_mask), cfg.text,
+                           encoder_hidden_states=image_embeds)
+    max_length = 8
+    dec_ids = np.zeros((nq, max_length), np.int32)
+    dec_ids[:, 0] = tok.bos_token_id
+    dec_mask = (np.arange(max_length)[None, :] <= 0).astype(np.int32)
+    dec_mask = np.repeat(dec_mask, nq, axis=0)
+
+    def first_step_logits(cross_mask):
+        h = bert_encode(params["text_decoder"], jnp.asarray(dec_ids),
+                        jnp.asarray(dec_mask), cfg.text,
+                        encoder_hidden_states=q_states,
+                        encoder_attention_mask=jnp.asarray(cross_mask),
+                        causal=True)
+        return np.asarray(lm_logits(params["lm_head"], h)[:, 0, :],
+                          dtype=np.float32)
+
+    logits_ones = first_step_logits(np.ones_like(q_mask))
+    logits_gated = first_step_logits(q_mask)
+    assert not np.allclose(logits_ones[1], logits_gated[1], atol=1e-6), \
+        "padded question positions must be reachable by decoder cross-attn"
+
+    # greedy (num_beams=1) first token for the padded row == argmax of the
+    # all-ones logits (min_length=1 never bans EOS under HF semantics —
+    # total length incl. prompt is already 1 at the first step)
+    ans_greedy = vqa_generate_answers(params, images, jnp.asarray(q_ids),
+                                      jnp.asarray(q_mask), cfg, tok,
+                                      num_beams=1, max_length=8)
+    first_tok = tok.decode([int(np.argmax(logits_ones[1]))],
+                           skip_special_tokens=True)
+    assert ans_greedy[1].split()[:1] == ([first_tok] if first_tok else []), \
+        (ans_greedy[1], first_tok)
 
 
 # ---------------------------------------------------------------------------

@@ -345,6 +345,50 @@ def test_jbu_stages_cli_override_merges(tmp_path, monkeypatch):
     assert seg.upsampler_name == "jbu_one"
 
 
+def test_checkpoint_pins_reference_stages(tmp_path, monkeypatch):
+    """Parity-by-construction: --checkpoint without --jbu-stages pins
+    num_stages=4 (reference simfeatup_dev/upsamplers.py:304-325 fixed
+    4-stage semantics), so the BASELINE.md ±0.1 mIoU gate never silently
+    runs the 3-stage fast-mode default; explicit --jbu-stages still wins."""
+    from eval import build_model_overrides
+    from rs_ov.evalsuite.runner import build_segmentor_from_config
+
+    monkeypatch.delenv("RS_OV_JBU_STAGES", raising=False)
+
+    # no checkpoint: no stage pin (deployment default applies)
+    assert "sim_feat_up_cfg" not in build_model_overrides(None, None, None)
+    # checkpoint without explicit stages: pinned to 4
+    ov = build_model_overrides("/nonexistent/ViT-B-16.pt", None, None)
+    assert ov["sim_feat_up_cfg"]["num_stages"] == 4
+    # upsampler checkpoint alone also pins (keeps its model_path)
+    ov = build_model_overrides(None, "/nonexistent/jbu.ckpt", None)
+    assert ov["sim_feat_up_cfg"]["num_stages"] == 4
+    assert ov["sim_feat_up_cfg"]["model_path"] == "/nonexistent/jbu.ckpt"
+    # explicit fast-mode request wins over the pin
+    ov = build_model_overrides("/nonexistent/ViT-B-16.pt", None, 3)
+    assert ov["sim_feat_up_cfg"]["num_stages"] == 3
+
+    # and the pin survives the runner's config merge into a live segmentor
+    cls = tmp_path / "cls.txt"
+    cls.write_text("background\nbuilding")
+    cfg = {"model": dict(
+        type="SegmentorEx", clip_type="CLIP", vit_type="ViT-B/16",
+        model_type="ClearCLIP", name_path=str(cls), apply_sim_feat_up=True,
+    )}
+    ov = build_model_overrides("ckpt.pt", None, None)
+    ov.pop("checkpoint_path")  # tiny random model instead of a real load
+    ov.update({"clip_config": TINY, "param_dtype": jnp.float32,
+               "slide_stride": 32, "slide_crop": 64})
+    seg = build_segmentor_from_config(cfg, ov)
+    assert seg.jbu_stages == 4
+
+    # default (no checkpoint) still resolves to the certified fast mode
+    seg3 = build_segmentor_from_config(
+        cfg, {"clip_config": TINY, "param_dtype": jnp.float32,
+              "slide_stride": 32, "slide_crop": 64})
+    assert seg3.jbu_stages == 3
+
+
 def test_eval_all_cli_smoke(tmp_path, monkeypatch, capsys):
     """eval_all loops configs, honors --jbu-stages, reports per-config
     failures without stopping (reference eval_all.py:24-27 ignores exit

@@ -158,9 +158,10 @@ def main(argv=None) -> str:
         enc = tok([args.caption], max_length=35)
         ids = enc["input_ids"].astype(np.int32)
         mask = np.asarray(enc["attention_mask"], np.int32)
-        enc_ids = ids.copy()
-        enc_ids[:, 0] = tok.enc_token_id
-        itm = blip_itm_score(params, img, jnp.asarray(enc_ids),
+        # the reference ITM head consumes the RAW tokenized caption — [CLS]
+        # at position 0, no [ENC] substitution (blip_itm.py:41-59; only the
+        # retrieval trainer swaps in [ENC], blip_retrieval.py:118)
+        itm = blip_itm_score(params, img, jnp.asarray(ids),
                              jnp.asarray(mask), cfg, match_head="itm")
         p = float(jax.nn.softmax(itm.astype(jnp.float32), axis=1)[0, 1])
         itc = float(blip_itm_score(params, img, jnp.asarray(ids),

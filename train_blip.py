@@ -117,6 +117,19 @@ def _tokenizer(args):
     sys.exit("--data needs --vocab <bert vocab.txt> for tokenization")
 
 
+def _special_token_ids(args):
+    """(bos, enc) token ids. Literals only for the tokenizer-free synthetic
+    path (tiny-vocab stand-ins / the bert-base 30522-line vocab the
+    reference appends [DEC]/[ENC] to, BLIP/models/blip.py:188-193); any
+    real --data run derives them from its own vocab — a hardcoded 30523
+    against a different vocab would silently gather bogus [ENC] embeddings
+    (JAX clamps out-of-range indices)."""
+    if args.synthetic:
+        return (2, 3) if args.tiny else (30522, 30523)
+    tok = _tokenizer(args)
+    return tok.bos_token_id, tok.enc_token_id
+
+
 def _synth_batches(args, cfg, rng):
     """Random host batches shaped per task."""
     b, s, ln = args.batch_size, cfg.vision.image_size, args.context_length
@@ -235,7 +248,7 @@ def _run_retrieval_eval(args, cfg, params, rng):
         ids = np.concatenate(idss)[:n].astype(np.int32)
         mask = np.concatenate(masks)[:n].astype(np.int32)
     m = blip_retrieval_evaluation(
-        params, cfg, images, ids, mask, 3 if args.tiny else 30523,
+        params, cfg, images, ids, mask, _special_token_ids(args)[1],
         txt2img=list(range(len(images))),
         img2txt=[[i] for i in range(len(images))], k_test=args.k_test,
         log=lambda s: print(f"[eval] {s}", flush=True))
@@ -299,17 +312,17 @@ def main(argv=None):
             state = init_blip_retrieval_state(key, cfg, queue_size=q)
             step_fn, init_opt = make_blip_retrieval_train_step(
                 cfg, mesh, optimizer=optimizer, compute_dtype=cdtype,
-                enc_token_id=3 if args.tiny else 30523)
+                enc_token_id=_special_token_ids(args)[1])
             names = ("loss_ita", "loss_itm")
         else:
             from rs_ov.train.blip_pretrain import (
                 init_blip_pretrain_state, make_blip_pretrain_train_step)
 
             state = init_blip_pretrain_state(key, cfg, queue_size=q)
+            bos_id, enc_id = _special_token_ids(args)
             step_fn, init_opt = make_blip_pretrain_train_step(
                 cfg, mesh, optimizer=optimizer, compute_dtype=cdtype,
-                enc_token_id=3 if args.tiny else 30523,
-                bos_token_id=2 if args.tiny else 30522)
+                enc_token_id=enc_id, bos_token_id=bos_id)
             names = ("loss_ita", "loss_itm", "loss_lm")
         if args.pretrained:
             from rs_ov.core.checkpoint import load_torch_state_dict
