@@ -14,6 +14,10 @@ Prints ONE json line to stdout:
    "best": N, "attempts": [...], "spread_pct": N}
 where value = MEDIAN of ATTEMPTS best-of-windows measurements taken in one
 process (variance protocol — the tunnelled chip swings >±20% across runs).
+Attempts are health-gated (round-4 VERDICT #4): a fixed bf16 matmul probe
+runs before/after each attempt; attempts taken while the chip probes >20%
+slower than the session best are deferred, then marked degraded and
+excluded from the median when >=2 healthy attempts exist.
 
 Hostile-environment hardening (round-1 postmortem: BENCH_r01 rc=124 with an
 empty tail; MULTICHIP_r01 libtpu AOT mismatch):
@@ -195,13 +199,67 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
         np.asarray(r["pred_sem_seg"])
         _log("warmup done; timing windows...")
 
+        # chip-health probe (round-4 VERDICT: BENCH_r04 carried a 52%
+        # spread because one attempt landed in a multi-minute degraded-chip
+        # phase). A fixed bf16 matmul is timed before each attempt; an
+        # attempt whose probe is >20% slower than the session-best probe is
+        # deferred (short sleep, re-probe) and, if the chip never recovers,
+        # marked degraded — degraded attempts are excluded from the median
+        # whenever >=2 healthy attempts exist.
+        k = jax.jit(lambda a, b: (a @ b).sum())
+        pa = jnp.ones((2048, 2048), jnp.bfloat16)
+        pb = jnp.ones((2048, 2048), jnp.bfloat16)
+        float(k(pa, pb))  # compile + first dispatch
+
+        def probe() -> float:
+            best_p = float("inf")
+            for _ in range(3):
+                t = time.perf_counter()
+                float(k(pa, pb))
+                best_p = min(best_p, time.perf_counter() - t)
+            return best_p
+
+        probe_best = probe()
+
         # variance protocol (round-3 VERDICT): the tunnelled chip swings
         # >±20% between separate runs, so a single best-of-windows number
         # is not reproducible. Run ATTEMPTS independent best-of-windows
         # measurements in THIS process, report their MEDIAN as the headline
         # and carry best + spread so the artifact is honest about stability.
-        attempt_values = []
+        attempt_values: list[float] = []
+        attempt_health: list[bool] = []
+
+        def refresh(done: bool, a: int) -> None:
+            healthy = [v for v, h in zip(attempt_values, attempt_health) if h]
+            pool = healthy if len(healthy) >= 2 else attempt_values
+            med = float(np.median(pool))
+            update(med, None if done else f"attempt {a + 1}/{ATTEMPTS}")
+            with lock:
+                result["best"] = round(max(attempt_values), 4)
+                result["attempts"] = [round(v, 2) for v in attempt_values]
+                result["attempts_healthy"] = list(attempt_health)
+                result["spread_pct"] = round(
+                    100.0 * (max(pool) - min(pool)) / med, 1)
+            _log(f"attempt {a + 1}/{ATTEMPTS}: {attempt_values[-1]:.2f} tiles/s "
+                 f"(median {med:.2f}, "
+                 f"{'healthy' if attempt_health[-1] else 'DEGRADED'})")
+
         for a in range(ATTEMPTS):
+            # health gate: defer the attempt while the chip probes >20%
+            # slower than the session best (bounded by the child deadline,
+            # which the watchdog enforces regardless)
+            p = probe()
+            probe_best = min(probe_best, p)
+            waited = 0.0
+            while p > 1.2 * probe_best and waited < 45.0:
+                _log(f"probe {p * 1e3:.2f} ms vs best {probe_best * 1e3:.2f} ms"
+                     " — chip degraded, deferring attempt")
+                time.sleep(5)
+                waited += 5.0
+                p = probe()
+                probe_best = min(probe_best, p)
+            healthy = p <= 1.2 * probe_best
+
             best = float("inf")
             # keep >= 4 dispatches per window even at large batch sizes:
             # with reps=1 every window serializes upload -> compute ->
@@ -214,18 +272,13 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
                     r = run_once()
                 np.asarray(r["pred_sem_seg"])
                 best = min(best, (time.perf_counter() - t0) / (reps * batch_n))
+            # post-check: a degraded phase can BEGIN mid-attempt; distrust
+            # the attempt if the chip probes slow right after it
+            healthy = healthy and probe() <= 1.2 * probe_best
             attempt_values.append(1.0 / best)
-            med = float(np.median(attempt_values))
-            done = a == ATTEMPTS - 1
-            update(med, None if done else f"attempt {a + 1}/{ATTEMPTS}")
-            with lock:
-                result["best"] = round(max(attempt_values), 4)
-                result["attempts"] = [round(v, 2) for v in attempt_values]
-                result["spread_pct"] = round(
-                    100.0 * (max(attempt_values) - min(attempt_values)) / med, 1)
-            _log(f"attempt {a + 1}/{ATTEMPTS}: {attempt_values[-1]:.2f} tiles/s "
-                 f"(median {med:.2f})")
-            if not done:
+            attempt_health.append(healthy)
+            refresh(a == ATTEMPTS - 1, a)
+            if a != ATTEMPTS - 1:
                 time.sleep(2)  # let transient contention decorrelate attempts
 
         emit_and_exit(0)

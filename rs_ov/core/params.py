@@ -114,13 +114,24 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.float32) -> dict:
     }
 
 
-def init_clip_params(key, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
+def _init_clip_params_impl(key, cfg: CLIPConfig, dtype) -> dict:
     kv, kt = jax.random.split(key)
     return {
         "visual": init_vision_params(kv, cfg.vision, dtype),
         "text": init_text_params(kt, cfg.text, dtype),
         "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype),
     }
+
+
+# one compiled (and persistently cached) program instead of ~60 individual
+# jax.random.normal dispatches — through the axon tunnel the eager version
+# costs ~36s of SegmentorEx startup, the jitted one <2s warm
+_init_clip_params_jit = jax.jit(
+    _init_clip_params_impl, static_argnums=(1,), static_argnames=("dtype",))
+
+
+def init_clip_params(key, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
+    return _init_clip_params_jit(key, cfg, dtype=np.dtype(dtype).name)
 
 
 def cast_floating(tree, dtype):

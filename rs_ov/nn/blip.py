@@ -93,6 +93,12 @@ def _bert_layer(key, h, inter, dtype):
 
 
 def init_blip_params(key, cfg: BlipConfig, dtype=jnp.float32) -> dict:
+    # one compiled (persistently cached) program — eager per-tensor
+    # jax.random dispatches cost tens of seconds through the axon tunnel
+    return _init_blip_params_jit(key, cfg, dtype=np.dtype(dtype).name)
+
+
+def _init_blip_params_impl(key, cfg: BlipConfig, dtype) -> dict:
     v, t = cfg.vision, cfg.text
     keys = jax.random.split(key, v.layers + t.num_layers + 8)
     gp = (v.image_size // v.patch_size) ** 2
@@ -137,6 +143,10 @@ def init_blip_params(key, cfg: BlipConfig, dtype=jnp.float32) -> dict:
         },
     }
     return params
+
+
+_init_blip_params_jit = jax.jit(
+    _init_blip_params_impl, static_argnums=(1,), static_argnames=("dtype",))
 
 
 # ---------------------------------------------------------------------------
