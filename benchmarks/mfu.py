@@ -127,6 +127,93 @@ def flops_512_image(q: int = 6, stages: int = 4) -> dict:
     }
 
 
+PEAK_HBM_GBS = 819.0  # TPU v5e per-chip HBM bandwidth
+# VPU: 8 sublanes x 128 lanes x 4 ALUs at ~0.94 GHz (public v5e figures)
+PEAK_VPU_TOPS = 3.85
+
+
+def jbu_roofline(stages: int = 3, tiles: int = CROPS) -> dict:
+    """Per-stage roofline model for the JBU phase (round-4 VERDICT #2):
+    HBM bytes, hardware (lane-padded) MXU MACs, and VPU band-construction
+    ops for `tiles` tiles, each converted to a time-at-peak. The binding
+    constraint per stage is the max of the three.
+
+    Traffic model follows the production split-kernel NHWC path
+    (rs_ov/upsample/jbu.py jbu_module_forward_nhwc + kernels/
+    {range_logits,jbu_epilogue}.py), per stage with output grid H x W:
+
+      guidance proj   : read guid [3,H,W] + write proj [32,H,W] fp32, then
+                        reflect-pad read+write of proj
+      range_logits    : kernel reads proj+padded, writes [121,H,W] fp32
+      logits transpose: XLA pixel-major transpose = read + write 121*4 B/px
+      bicubic         : read source [C,H/2,W/2] bf16 + write hr [H,W,C] bf16
+      reflect pad     : read + write hr (+d-1 halo)
+      epilogue kernel : reads logits_t + guid_t + the hr slab TWICE (dual
+                        row-slab halo, jbu_epilogue.py inp_spec_a/b), writes
+                        [H,W,C] bf16 (final stage w/ fused classify: [H,W,Q]
+                        fp32, Q padded to 128 lanes)
+
+    MXU hardware MACs: adaptive conv issues [WT, d*128] @ [d*128, Cp] per
+    output row = d*128*Cp MACs/px (the 128/d ~ 11.6x lane padding is
+    hardware-issued work); plus range_logits ([K=32 -> d*d] window matmuls
+    = 121*32 MACs/px) and the fixup 128x128 pixel-block matmuls (2*128*128
+    MACs/px).
+
+    VPU band construction: per px per window-row u, the kernel slices,
+    pads and rolls a [WT, 128] block (~3 elementwise passes) -> 3*d*128
+    ops/px — the in-kernel cost the MXU/HBM rooflines don't see.
+    """
+    cp = 128 * (-(-C_OUT // 128))
+    out = {"stages": [], "totals": {}}
+    tot = {"hbm_bytes": 0.0, "mxu_hw_macs": 0.0, "vpu_ops": 0.0}
+    for si in range(stages):
+        hw = STAGE_HW[si]
+        d = D_JBU
+        halo = 1.0 + (d - 1) / (hw ** 0.5)  # pad halo area factor (approx)
+        final = si == stages - 1
+        f32, bf16 = 4, 2
+        px = {
+            "proj_pass": (G + K_RANGE) * f32 + 2 * K_RANGE * f32 * halo,
+            "range_logits_io": (K_RANGE * (1 + halo)) * f32 + DD * f32,
+            "logits_transpose": 2 * DD * f32,
+            "bicubic": C_OUT * bf16 // 4 + C_OUT * bf16,
+            "reflect_pad": 2 * C_OUT * bf16 * halo,
+            "epilogue_reads": DD * f32 + G * bf16 + 2 * C_OUT * bf16 * halo,
+            "output": (128 * f32) if final else (C_OUT * bf16),
+        }
+        hbm = tiles * hw * sum(px.values())
+        mxu = tiles * hw * (d * 128 * cp          # adaptive conv (padded)
+                            + DD * K_RANGE        # range logits
+                            + 2 * 128 * 128)      # fixup convs (padded)
+        vpu = tiles * hw * (3 * d * 128           # band construction
+                            + DD * 6)             # softmax/spatial/normalise
+        tot["hbm_bytes"] += hbm
+        tot["mxu_hw_macs"] += mxu
+        tot["vpu_ops"] += vpu
+        out["stages"].append({
+            "grid": int(hw ** 0.5),
+            "hbm_bytes_per_px": round(sum(px.values()), 1),
+            "hbm_gb": round(hbm / 1e9, 3),
+            "hbm_ms_at_peak": round(1e3 * hbm / (PEAK_HBM_GBS * 1e9), 3),
+            "mxu_hw_gflop": round(2 * mxu / 1e9, 1),
+            "mxu_ms_at_peak": round(2 * mxu / (PEAK_BF16_TFLOPS * 1e9), 3),
+            "vpu_gops": round(vpu / 1e9, 2),
+            "vpu_ms_at_peak": round(vpu / (PEAK_VPU_TOPS * 1e9), 3),
+            "hbm_breakdown_bytes_per_px": {k: round(v, 1)
+                                           for k, v in px.items()},
+        })
+    out["totals"] = {
+        "hbm_gb": round(tot["hbm_bytes"] / 1e9, 3),
+        "hbm_ms_at_peak": round(1e3 * tot["hbm_bytes"] / (PEAK_HBM_GBS * 1e9), 2),
+        "mxu_hw_gflop": round(2 * tot["mxu_hw_macs"] / 1e9, 1),
+        "mxu_ms_at_peak": round(2 * tot["mxu_hw_macs"]
+                                / (PEAK_BF16_TFLOPS * 1e9), 2),
+        "vpu_gops": round(tot["vpu_ops"] / 1e9, 2),
+        "vpu_ms_at_peak": round(tot["vpu_ops"] / (PEAK_VPU_TOPS * 1e9), 2),
+    }
+    return out
+
+
 def mfu_pct(tiles_per_sec: float, q: int = 6, stages: int = 4) -> float:
     """Whole-pipeline MFU (%) at a measured 512^2-tiles/s headline."""
     total_tflop = flops_512_image(q, stages)["total"] / 1e3
@@ -186,8 +273,30 @@ def main() -> None:
                      "mfu_pct": round(mfu_pct(headline, stages=stages), 1),
                      "source": f"{bench_name} headline {headline} tiles/s"})
 
+    # JBU roofline (round-4 VERDICT #2): which hardware limit binds the
+    # measured phase time? Achieved fraction = time-at-peak / measured.
+    roof4 = jbu_roofline(stages=4)
+    jbu_ms = dev_ms("jbu_16x_ms") if comp else None
+    jbu_roof = {"model_4stage": roof4, "model_3stage": jbu_roofline(stages=3)}
+    if jbu_ms:
+        t = roof4["totals"]
+        jbu_roof["measured_4stage_ms"] = round(jbu_ms, 2)
+        jbu_roof["achieved_vs_peak"] = {
+            "hbm_pct": round(100 * t["hbm_ms_at_peak"] / jbu_ms, 1),
+            "mxu_hw_pct": round(100 * t["mxu_ms_at_peak"] / jbu_ms, 1),
+            "vpu_model_pct": round(100 * t["vpu_ms_at_peak"] / jbu_ms, 1),
+        }
+        jbu_roof["verdict"] = (
+            "bandwidth-bound" if t["hbm_ms_at_peak"] / jbu_ms >= 0.7 else
+            "mxu-issue-bound" if t["mxu_ms_at_peak"] / jbu_ms >= 0.7 else
+            "formulation-bound (no single roofline >= 70% of peak; the "
+            "residual is in-kernel band construction + per-row MXU issue "
+            "serialization — see benchmarks/PERF.md dead-ends table)")
+
     out = {
         "peak_bf16_tflops": PEAK_BF16_TFLOPS,
+        "peak_hbm_gbs": PEAK_HBM_GBS,
+        "jbu_roofline": jbu_roof,
         "flops_model_gflops_per_512_image": {
             k: (round(v, 1) if isinstance(v, float) else
                 {kk: round(vv, 1) for kk, vv in v.items()})
