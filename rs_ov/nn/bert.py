@@ -25,11 +25,13 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from rs_ov.nn.layers import gelu, layer_norm, linear
 
-__all__ = ["BertConfig", "bert_encode"]
+__all__ = ["BertConfig", "bert_encode", "bert_decode_init_cache",
+           "bert_decode_step"]
 
 _LN_EPS = 1e-12
 
@@ -141,3 +143,110 @@ def bert_encode(p: dict, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
         out = linear(inter, layer["out_w"], layer["out_b"])
         x = layer_norm(x + out, layer["out_ln"], eps=eps)
     return x
+
+
+# ---------------------------------------------------------------------------
+# incremental (KV-cached) decoding — reference med.py:150-167 past_key_value
+# concat, :72-82 position offset. Fixed-shape TPU formulation: per-layer
+# [B, heads, max_len, dh] self K/V buffers updated with dynamic_update_slice,
+# cross K/V over the encoder states projected ONCE. One compiled step program
+# serves the whole generation loop; output tokens are bit-identical to the
+# full-prefix bert_encode path (the masked tail positions contribute exact
+# fp32 zeros either way).
+# ---------------------------------------------------------------------------
+
+def bert_decode_init_cache(p: dict, cfg: BertConfig, batch: int, max_len: int,
+                           encoder_hidden_states: jnp.ndarray | None = None,
+                           dtype=jnp.float32) -> dict:
+    """Allocate the decode cache: zeroed self K/V [B, heads, max_len, dh]
+    per layer, plus the per-layer cross K/V of ``encoder_hidden_states``
+    (projected once here instead of once per generated token — the second
+    half of the reference's past_key_value reuse, med.py:158-161)."""
+    heads = cfg.num_heads
+    dh = cfg.hidden_size // heads
+    layers = []
+    for layer in p["layers"]:
+        entry = {
+            "k": jnp.zeros((batch, heads, max_len, dh), dtype),
+            "v": jnp.zeros((batch, heads, max_len, dh), dtype),
+        }
+        if encoder_hidden_states is not None:
+            enc = encoder_hidden_states.astype(dtype)
+            entry["xk"] = _split_heads(
+                linear(enc, layer["xk_w"], layer["xk_b"]), heads)
+            entry["xv"] = _split_heads(
+                linear(enc, layer["xv_w"], layer["xv_b"]), heads)
+        layers.append(entry)
+    return {"layers": layers}
+
+
+def _attend_cached(q, k, v, mask, scale, out_dtype):
+    """Single-query attention over cached K/V (the _attend math at Lq=1)."""
+    attn = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32),
+                      k.astype(jnp.float32)) * scale + mask
+    attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
+    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    ctx = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+    b, h, lq, dh = ctx.shape
+    return ctx.transpose(0, 2, 1, 3).reshape(b, lq, h * dh).astype(out_dtype)
+
+
+def bert_decode_step(p: dict, token_ids: jnp.ndarray, pos: jnp.ndarray,
+                     cache: dict, cfg: BertConfig,
+                     encoder_attention_mask: jnp.ndarray | None = None,
+                     ) -> tuple[jnp.ndarray, dict]:
+    """One incremental decoder step.
+
+    token_ids [B] (the tokens at position `pos`), pos scalar int32, cache
+    from bert_decode_init_cache -> (hidden [B, H] at `pos`, updated cache).
+    Causal masking is implicit: the new token attends cache slots 0..pos.
+    encoder_attention_mask [B, Lenc] gates cross-attention (None = attend
+    all encoder positions, the HF ones-mask default)."""
+    eps = cfg.layer_norm_eps
+    emb = p["embeddings"]
+    x = emb["word"][token_ids][:, None, :]                       # [B, 1, H]
+    pos_emb = jax.lax.dynamic_slice_in_dim(emb["position"], pos, 1, 0)
+    x = x + pos_emb.astype(x.dtype)[None]
+    if "token_type" in emb:
+        x = x + emb["token_type"][0].astype(x.dtype)[None, None, :]
+    x = layer_norm(x, emb["ln"], eps=eps)
+
+    max_len = cache["layers"][0]["k"].shape[2]
+    mask = jnp.where(jnp.arange(max_len) <= pos, 0.0, -10000.0
+                     )[None, None, None, :]                      # [1,1,1,L]
+    xmask = None
+    if encoder_attention_mask is not None:
+        xmask = (1.0 - encoder_attention_mask.astype(jnp.float32)
+                 )[:, None, None, :] * -10000.0
+    heads = cfg.num_heads
+    scale = (cfg.hidden_size // heads) ** -0.5
+
+    new_layers = []
+    for layer, lc in zip(p["layers"], cache["layers"]):
+        q = _split_heads(linear(x, layer["q_w"], layer["q_b"]), heads)
+        k_new = _split_heads(linear(x, layer["k_w"], layer["k_b"]), heads)
+        v_new = _split_heads(linear(x, layer["v_w"], layer["v_b"]), heads)
+        k = jax.lax.dynamic_update_slice(
+            lc["k"], k_new.astype(lc["k"].dtype), (0, 0, pos, 0))
+        v = jax.lax.dynamic_update_slice(
+            lc["v"], v_new.astype(lc["v"].dtype), (0, 0, pos, 0))
+        ctx = _attend_cached(q, k, v, mask, scale, x.dtype)
+        out = linear(ctx, layer["attn_out_w"], layer["attn_out_b"])
+        x = layer_norm(x + out, layer["attn_ln"], eps=eps)
+
+        nl = dict(lc)
+        nl["k"], nl["v"] = k, v
+        new_layers.append(nl)
+        if "xk" in lc:
+            xq = _split_heads(linear(x, layer["xq_w"], layer["xq_b"]), heads)
+            xm = xmask if xmask is not None else jnp.zeros(
+                (1, 1, 1, lc["xk"].shape[2]), jnp.float32)
+            xctx = _attend_cached(xq, lc["xk"], lc["xv"], xm, scale, x.dtype)
+            xout = linear(xctx, layer["x_out_w"], layer["x_out_b"])
+            x = layer_norm(x + xout, layer["x_ln"], eps=eps)
+
+        inter = gelu(linear(x, layer["inter_w"], layer["inter_b"]))
+        out = linear(inter, layer["out_w"], layer["out_b"])
+        x = layer_norm(x + out, layer["out_ln"], eps=eps)
+
+    return x[:, 0, :], {"layers": new_layers}

@@ -178,6 +178,63 @@ def test_generate_captions_beam_and_sample(cap, tmp_path):
     assert len(sampled) == 2
 
 
+def test_cached_decode_matches_full_prefix_step(cap):
+    """KV-cached incremental decoding (round-4 VERDICT #5; reference
+    med.py:150-167 past_key_value) must produce the same logits as the
+    full-prefix step at every position — the masked tail slots contribute
+    exact fp32 zeros either way."""
+    from rs_ov.nn.blip_lm import make_cached_decoder, make_caption_step
+    from rs_ov.nn.blip_vit import blip_vit_forward
+
+    cfg, params = cap
+    max_length = 12
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.randn(1, 3, 32, 32).astype(np.float32))
+    embs = blip_vit_forward(params["visual"], images, cfg.vision)
+
+    full = make_caption_step(params, cfg, max_length)
+    cinit, cstep = make_cached_decoder(params, cfg, max_length)
+
+    seq = rng.randint(1, 60, size=(max_length,)).astype(np.int32)
+    ids = np.zeros((1, max_length), np.int32)
+    cache = cinit(embs)
+    zero = jnp.zeros((1,), jnp.int32)
+    for pos in range(max_length - 1):
+        ids[0, pos] = seq[pos]
+        ref = np.array(full(jnp.asarray(ids), pos, embs))[0]
+        got, cache = cstep(jnp.asarray([seq[pos]], jnp.int32), pos, cache,
+                           zero)
+        np.testing.assert_allclose(np.array(got)[0], ref, atol=1e-5,
+                                   rtol=1e-5)
+
+
+def test_cached_generate_matches_full_prefix(cap, tmp_path):
+    """End-to-end: beam and nucleus captions decoded with the KV cache must
+    equal the full-prefix path token-for-token."""
+    cfg, params = cap
+    from rs_ov.text.wordpiece import WordPieceTokenizer
+
+    vocab = tmp_path / "vocab.txt"
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "picture", "of"]
+    words += [f"w{i}" for i in range(64 - 2 - len(words))]
+    vocab.write_text("\n".join(words))
+    tok = WordPieceTokenizer(str(vocab))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    kw = dict(prompt="a picture of ", max_length=12, min_length=2,
+              num_beams=2)
+    assert (generate_captions(params, images, cfg, tok, use_cache=True, **kw)
+            == generate_captions(params, images, cfg, tok, use_cache=False,
+                                 **kw))
+    skw = dict(prompt="a picture of ", sample=True, max_length=12,
+               min_length=2)
+    assert (generate_captions(params, images, cfg, tok, use_cache=True,
+                              rng=np.random.RandomState(7), **skw)
+            == generate_captions(params, images, cfg, tok, use_cache=False,
+                                 rng=np.random.RandomState(7), **skw))
+
+
 def test_caption_targets():
     ids = jnp.asarray([[5, 9, 3, 0, 0]], jnp.int32)
     t = np.asarray(caption_targets(ids, pad_token_id=0, prompt_length=2))
@@ -283,6 +340,11 @@ def test_vqa_generate_answers(vqa, tmp_path):
     assert ans == vqa_generate_answers(params, images, jnp.asarray(q_ids),
                                        jnp.asarray(q_mask), cfg, tok,
                                        num_beams=2, max_length=8)
+    # KV-cached decode (the default) must match the full-prefix oracle
+    assert ans == vqa_generate_answers(params, images, jnp.asarray(q_ids),
+                                       jnp.asarray(q_mask), cfg, tok,
+                                       num_beams=2, max_length=8,
+                                       use_cache=False)
 
     # Reference decode semantics (blip_vqa.py:94): question_atts =
     # torch.ones(...) — the DECODER cross-attends ALL question positions,
