@@ -28,6 +28,10 @@ __all__ = ["build_segmentor_from_config", "run_eval", "append_experiment_result"
 
 _MODEL_KEY_DROP = ("type", "device")
 
+# per-batch sync point in the eval loop (see consume() below); 0 disables —
+# kept as a knob for the interleaved A/B (benchmarks/run_eval_overlap_ab.py)
+_EVAL_SYNC = os.environ.get("RS_OV_EVAL_SYNC", "1") != "0"
+
 
 def build_segmentor_from_config(cfg: dict, overrides: Optional[dict] = None,
                                 config_dir: str | None = None) -> SegmentorEx:
@@ -140,6 +144,16 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
                 dev_state[0], preds_dev, jnp.asarray(labels),
                 metric.num_classes, metric.ignore_index)
             pixels += int(np.prod(preds_dev.shape))
+            if _EVAL_SYNC:
+                # block on the tiny [4, C] confusion state (batch i-depth's
+                # chain): the main thread parks in the device wait with the
+                # GIL RELEASED, handing the prefetch decode threads the
+                # whole device-compute window. Without this the loop never
+                # blocks (dispatch is async) and on a 1-core host the
+                # decode threads starve behind the dispatch loop — the
+                # round-4 eval/bare gap (eval_overlap_ab.json 0.78).
+                # Depth-2 keeps the device fed while we wait.
+                np.asarray(dev_state[0])
         for r, s in host:
             pred = np.asarray(r["pred_sem_seg"])[0].astype(np.int64)
             pixels += pred.size
@@ -191,8 +205,11 @@ def run_eval(config_path: str, work_dir: str = "./work_dirs/tmp",
 
     # lookahead >= 2 batches: a fused batch dispatch needs batch_images
     # decoded samples at once — a 2-image lookahead would stall each flush
-    # on ~6 serialized decodes (17 ms apiece on this host)
-    for sample in dataset.prefetch(lookahead=max(4, 2 * batch_images)):
+    # on ~6 serialized decodes (17 ms apiece on this host).
+    # RS_OV_EVAL_DECODE_WORKERS widens the pool on multi-core hosts.
+    workers = int(os.environ.get("RS_OV_EVAL_DECODE_WORKERS", "0")) \
+        or max(4, 2 * batch_images)
+    for sample in dataset.prefetch(lookahead=workers):
         key = (sample.img.shape,
                tuple(sample.meta.get("ori_shape", sample.img.shape[:2]))[:2])
         if buf and (key != buf_key[0] or len(buf) >= max(batch_images, 1)):
