@@ -15,6 +15,8 @@ from rs_ov.factory import (  # noqa: F401
     create_model_from_pretrained,
     get_tokenizer,
     image_transform,
+    image_transform_v2,
+    PreprocessCfg,
 )
 from rs_ov.hub import generate_readme, push_to_hf_hub  # noqa: F401
 from rs_ov.core.config import get_model_config, list_models  # noqa: F401

@@ -30,7 +30,8 @@ from rs_ov.text.tokenizer import SimpleTokenizer
 
 __all__ = ["CLIPModel", "CoCaModel", "create_loss", "create_model",
            "create_model_and_transforms", "create_model_from_pretrained",
-           "get_tokenizer", "image_transform"]
+           "get_tokenizer", "image_transform", "image_transform_v2",
+           "PreprocessCfg"]
 
 _PRECISIONS = {"fp32": jnp.float32, "fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
                "bfloat16": jnp.bfloat16, "float32": jnp.float32}
@@ -362,6 +363,27 @@ def image_transform(image_size=224, is_train: bool = False,
         return (x - mean[:, None, None]) / std[:, None, None]
 
     return transform
+
+
+@dataclasses.dataclass
+class PreprocessCfg:
+    """The reference's preprocess config surface (transform.py:17-60)."""
+    size: int | tuple = 224
+    mode: str = "RGB"
+    mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    interpolation: str = "bicubic"
+    resize_mode: str = "shortest"
+    fill_color: int = 0
+
+
+def image_transform_v2(cfg: PreprocessCfg, is_train: bool, aug_cfg=None):
+    """The reference's torchvision-v2 entry point (transform.py:393-407):
+    same semantics as image_transform, config-object signature."""
+    return image_transform(
+        image_size=cfg.size, is_train=is_train, mean=cfg.mean, std=cfg.std,
+        interpolation=cfg.interpolation, resize_mode=cfg.resize_mode,
+        fill_color=cfg.fill_color, aug_cfg=aug_cfg)
 
 
 def _model_transform(model, model_name: str, pretrained) -> "object":
