@@ -28,9 +28,14 @@ __all__ = ["build_segmentor_from_config", "run_eval", "append_experiment_result"
 
 _MODEL_KEY_DROP = ("type", "device")
 
-# per-batch sync point in the eval loop (see consume() below); 0 disables —
-# kept as a knob for the interleaved A/B (benchmarks/run_eval_overlap_ab.py)
-_EVAL_SYNC = os.environ.get("RS_OV_EVAL_SYNC", "1") != "0"
+# per-batch sync point in the eval loop (see consume() below). MEASURED AND
+# REJECTED on this tunnelled chip (round 5, benchmarks/eval_overlap_ab.json
+# history): blocking on even a 1 KB device read costs a ~50 ms tunnel round
+# trip per batch — per-image eval collapsed 34 -> 12.6 img/s (ratio 0.28).
+# Default OFF; RS_OV_EVAL_SYNC=1 opts in for low-latency (directly-attached)
+# hosts where parking the main thread frees the 1-core GIL for decode
+# threads at ~us sync cost.
+_EVAL_SYNC = os.environ.get("RS_OV_EVAL_SYNC", "0") == "1"
 
 
 def build_segmentor_from_config(cfg: dict, overrides: Optional[dict] = None,
