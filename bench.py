@@ -122,9 +122,9 @@ def _child_main(deadline_s: float, init_budget_s: float | None = None) -> None:
         with open(CACHE) as f:
             cpu_ref = json.load(f)["tiles512_per_sec"]
     # the FLOPs model follows the JBU stage count so stage-count overrides
-    # report honest useful-work MFU. Default 3 = the certified fast mode
-    # (the segmentor default; benchmarks/fastmode_agreement_realjbu.json)
-    jbu_stages = int(os.environ.get("RS_OV_JBU_STAGES", "3"))
+    # report honest useful-work MFU. Default 2 = the certified fast mode
+    # (the segmentor default; benchmarks/fastmode_agreement_realjbu_s2.json)
+    jbu_stages = int(os.environ.get("RS_OV_JBU_STAGES", "2"))
     try:
         from benchmarks.mfu import flops_512_image, mfu_pct
         gflops_unit = round(flops_512_image(stages=jbu_stages)["total"], 1)

@@ -262,9 +262,9 @@ def main() -> None:
         with open(cands[-1]) as f:
             headline = json.load(f).get("value")
     if headline:
-        # the committed headline runs the DEFAULT recipe = 3-stage fast mode
-        # (upsample/jbu.py RS_OV_JBU_STAGES default); account it stage-aware
-        stages = int(os.environ.get("RS_OV_JBU_STAGES", "3"))
+        # the committed headline runs the DEFAULT recipe = 2-stage fast mode
+        # (pipeline/segmentor.py default); account it stage-aware
+        stages = int(os.environ.get("RS_OV_JBU_STAGES", "2"))
         fl_h = flops_512_image(stages=stages)
         rows.append({"phase": f"whole pipeline (stages={stages})",
                      "gflops": round(fl_h["total"], 1),
@@ -277,7 +277,8 @@ def main() -> None:
     # measured phase time? Achieved fraction = time-at-peak / measured.
     roof4 = jbu_roofline(stages=4)
     jbu_ms = dev_ms("jbu_16x_ms") if comp else None
-    jbu_roof = {"model_4stage": roof4, "model_3stage": jbu_roofline(stages=3)}
+    jbu_roof = {"model_4stage": roof4, "model_3stage": jbu_roofline(stages=3),
+                "model_2stage": jbu_roofline(stages=2)}
     if jbu_ms:
         t = roof4["totals"]
         jbu_roof["measured_4stage_ms"] = round(jbu_ms, 2)

@@ -59,8 +59,8 @@ def build_model_overrides(checkpoint, upsampler_checkpoint, jbu_stages):
     stage count, num_stages is pinned to 4 — strict reference semantics
     (reference simfeatup_dev/upsamplers.py:304-325 is a fixed 4-stage 16x).
     Without this, the BASELINE.md ±0.1 mIoU gate would silently compare the
-    certified-but-approximate 3-stage fast mode against the 4-stage
-    reference. Fast mode on real weights is opt-in: pass --jbu-stages 3 or
+    certified-but-approximate fast mode (2-stage default) against the 4-stage
+    reference. Fast mode on real weights is opt-in: pass --jbu-stages 2/3 or
     set RS_OV_JBU_STAGES (the env override wins inside SegmentorEx and a
     loud warning is printed here).
     """

@@ -261,18 +261,21 @@ class SegmentorEx:
         # ---- SimFeatUp upsampler ----
         self.apply_sim_feat_up = apply_sim_feat_up
         self.upsampler_name = (sim_feat_up_cfg or {}).get("model_name", "jbu_one")
-        # JBU stage count. Default 3 = certified fast mode: classify at the
-        # 8x grid, bilinear-resize the cheap Q-channel logits the final 2x
-        # (1.75x e2e on-TPU). Certified against the reference's TRAINED
-        # jbu_stack checkpoint over all 17 configs: 0.99994 mean pixel
-        # agreement, 16/17 identical, mIoU delta +0.005 on the one differing
-        # config (benchmarks/fastmode_agreement_realjbu.json). num_stages=4
-        # restores strict reference semantics (reference
+        # JBU stage count. Default 2 = certified fast mode: classify at the
+        # 4x grid, bilinear-resize the cheap Q-channel logits the final 4x
+        # (3.97x JBU phase vs 4-stage). Certified against the reference's
+        # TRAINED jbu_stack checkpoint over all 17 configs at BOTH reduced
+        # counts: stages=3 0.99994 mean pixel agreement 16/17 identical
+        # (benchmarks/fastmode_agreement_realjbu.json); stages=2 0.99972
+        # mean, 16/17 identical, the one differing config +0.015 mIoU in
+        # fast mode's favor (benchmarks/fastmode_agreement_realjbu_s2.json).
+        # num_stages=4 restores strict reference semantics (reference
         # simfeatup_dev/upsamplers.py:304-325 is a fixed 4-stage 16x) — use
-        # it for bit-level parity gates. Env RS_OV_JBU_STAGES overrides.
+        # it for bit-level parity gates; checkpointed eval runs auto-pin it
+        # (eval.build_model_overrides). Env RS_OV_JBU_STAGES overrides.
         self.jbu_stages = int(os.environ.get(
             "RS_OV_JBU_STAGES",
-            (sim_feat_up_cfg or {}).get("num_stages", 3)))
+            (sim_feat_up_cfg or {}).get("num_stages", 2)))
         if not 1 <= self.jbu_stages <= 4:
             raise ValueError(f"jbu stages must be in [1, 4], got {self.jbu_stages}")
         self.upsampler_params = None

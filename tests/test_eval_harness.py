@@ -383,10 +383,11 @@ def test_checkpoint_pins_reference_stages(tmp_path, monkeypatch):
     assert seg.jbu_stages == 4
 
     # default (no checkpoint) still resolves to the certified fast mode
-    seg3 = build_segmentor_from_config(
+    # (stages=2 since round 5, benchmarks/fastmode_agreement_realjbu_s2.json)
+    seg_fast = build_segmentor_from_config(
         cfg, {"clip_config": TINY, "param_dtype": jnp.float32,
               "slide_stride": 32, "slide_crop": 64})
-    assert seg3.jbu_stages == 3
+    assert seg_fast.jbu_stages == 2
 
 
 def test_eval_all_cli_smoke(tmp_path, monkeypatch, capsys):

@@ -1,8 +1,10 @@
-"""Reduced-stage JBU fast mode (default 3 stages since the trained-weights
-certification, benchmarks/fastmode_agreement_realjbu.json; num_stages=4
-restores strict reference semantics, simfeatup_dev/upsamplers.py:304-325 is
-a fixed 4-stage 16x — the LIBRARY functions in upsample/jbu.py keep 4 as
-their default for that reason).
+"""Reduced-stage JBU fast mode (segmentor default 2 stages since the
+round-5 trained-weights certification,
+benchmarks/fastmode_agreement_realjbu_s2.json — 3 stages in round 4,
+benchmarks/fastmode_agreement_realjbu.json; num_stages=4 restores strict
+reference semantics, simfeatup_dev/upsamplers.py:304-325 is a fixed
+4-stage 16x — the LIBRARY functions in upsample/jbu.py keep 4 as their
+default for that reason).
 
 stages<4 classifies at the reduced grid and relies on the segmentor's
 always-present bilinear logit resize for the remaining factor. These tests
@@ -92,11 +94,11 @@ def _make_segmentor(tmp_path, **kw):
 def test_segmentor_fast_mode_same_output_geometry(tmp_path):
     """num_stages=2 keeps the public prediction contract (shape, labels)."""
     img = np.random.RandomState(0).randn(1, 3, 96, 96).astype(np.float32)
-    full = _make_segmentor(tmp_path)
-    assert full.jbu_stages == 3  # certified fast-mode default
-    fast = _make_segmentor(tmp_path, sim_feat_up_cfg={"model_name": "jbu_one",
-                                                      "num_stages": 2})
-    assert fast.jbu_stages == 2
+    full = _make_segmentor(tmp_path, sim_feat_up_cfg={"model_name": "jbu_one",
+                                                      "num_stages": 4})
+    assert full.jbu_stages == 4  # strict reference semantics
+    fast = _make_segmentor(tmp_path)
+    assert fast.jbu_stages == 2  # certified fast-mode default (round 5)
     pf = np.asarray(full.predict(img, [{"ori_shape": (96, 96)}])[0]["pred_sem_seg"])
     pq = np.asarray(fast.predict(img, [{"ori_shape": (96, 96)}])[0]["pred_sem_seg"])
     assert pf.shape == pq.shape == (1, 96, 96)
