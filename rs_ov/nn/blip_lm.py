@@ -273,20 +273,28 @@ def make_cached_decoder(params: dict, cfg: BlipConfig, max_length: int):
     text_p = params["text_decoder"]
     dtype = text_p["embeddings"]["word"].dtype
 
+    # params ride as jit ARGUMENTS, not closure constants: closed-over
+    # weight pytrees are inlined into the serialized HLO, and at
+    # production size that blows the tunnelled backend's remote-compile
+    # payload limit (observed HTTP 413 at base size on the CoCa twin of
+    # this helper)
     @jax.jit
-    def init(encoder_states):
-        return bert_decode_init_cache(text_p, cfg.text,
+    def init(tp, encoder_states):
+        return bert_decode_init_cache(tp, cfg.text,
                                       encoder_states.shape[0], max_length,
                                       encoder_states, dtype=dtype)
 
     @jax.jit
-    def step(tokens, pos, cache, parent):
+    def step(pp, tokens, pos, cache, parent):
         cache = jax.tree_util.tree_map(lambda a: a[parent], cache)
-        hidden, cache = bert_decode_step(text_p, tokens, pos, cache, cfg.text)
-        logits = lm_logits(params["lm_head"], hidden[:, None, :])[:, 0, :]
+        hidden, cache = bert_decode_step(pp["text_decoder"], tokens, pos,
+                                         cache, cfg.text)
+        logits = lm_logits(pp["lm_head"], hidden[:, None, :])[:, 0, :]
         return logits.astype(jnp.float32), cache
 
-    return init, step
+    return (lambda encoder_states: init(text_p, encoder_states),
+            lambda tokens, pos, cache, parent: step(params, tokens, pos,
+                                                    cache, parent))
 
 
 def _beam_search_cached(init, step, encoder_states, prefix, eos, num_beams,
@@ -340,17 +348,19 @@ def _beam_search_cached(init, step, encoder_states, prefix, eos, num_beams,
 def make_caption_step(params: dict, cfg: BlipConfig, max_length: int):
     """Jitted fixed-shape decode step: (ids [B, max_length] padded,
     position `pos`, image_embeds) -> next-token logits [B, V] at `pos`.
-    One compiled program serves the whole generation loop."""
+    One compiled program serves the whole generation loop. Params ride as
+    jit arguments (see make_cached_decoder) to keep the serialized HLO
+    weight-free."""
 
     @jax.jit
-    def step(ids, pos, image_embeds):
+    def step(pp, ids, pos, image_embeds):
         mask = (jnp.arange(max_length)[None, :] <= pos).astype(jnp.int32)
-        hidden = bert_encode(params["text_decoder"], ids, mask, cfg.text,
+        hidden = bert_encode(pp["text_decoder"], ids, mask, cfg.text,
                              encoder_hidden_states=image_embeds, causal=True)
-        logits = lm_logits(params["lm_head"], hidden)
+        logits = lm_logits(pp["lm_head"], hidden)
         return logits[:, pos, :].astype(jnp.float32)
 
-    return step
+    return lambda ids, pos, image_embeds: step(params, ids, pos, image_embeds)
 
 
 def generate_captions(params: dict, images: jnp.ndarray, cfg: BlipConfig,
@@ -562,13 +572,16 @@ def vqa_generate_answers(params: dict, images: jnp.ndarray,
         cinit, cstep = make_cached_decoder(params, cfg, max_length)
     else:
         @jax.jit
-        def step(ids, pos, qs, qm):
+        def _step(pp, ids, pos, qs, qm):
             mask = (jnp.arange(max_length)[None, :] <= pos).astype(jnp.int32)
-            hidden = bert_encode(params["text_decoder"], ids, mask, cfg.text,
+            hidden = bert_encode(pp["text_decoder"], ids, mask, cfg.text,
                                  encoder_hidden_states=qs,
                                  encoder_attention_mask=qm, causal=True)
-            return lm_logits(params["lm_head"], hidden)[:, pos, :].astype(
+            return lm_logits(pp["lm_head"], hidden)[:, pos, :].astype(
                 jnp.float32)
+
+        def step(ids, pos, qs, qm):  # params as jit args, not HLO constants
+            return _step(params, ids, pos, qs, qm)
 
     eos = tokenizer.sep_token_id
     prefix = np.asarray([tokenizer.bos_token_id], np.int64)

@@ -24,6 +24,9 @@ Re-implements the reference's CoCa stack (reference open_clip/coca_model.py
   * ``generate`` (coca_model.py:188-268): autoregressive top-k / top-p
     sampling ported; the reference's HuggingFace grouped beam search is
     replaced by a plain beam search (generation_type='beam_search').
+    Decoding runs KV-cached by default (make_coca_cached_decoder — one
+    compiled fixed-shape step instead of the reference's per-length
+    full-prefix re-runs); the full-prefix path is the parity oracle.
 
 The CoCa contrastive+caption LOSS lives in rs_ov/train/losses.py.
 """
@@ -47,6 +50,7 @@ __all__ = [
     "MultimodalConfig", "CoCaConfig", "attentional_pool",
     "coca_encode_image", "coca_encode_text", "multimodal_decoder",
     "coca_forward", "coca_generate", "init_coca_params",
+    "coca_decode_init_cache", "coca_decode_step", "make_coca_cached_decoder",
 ]
 
 
@@ -253,6 +257,146 @@ def coca_forward(p: dict, images, texts, cfg: CoCaConfig,
 
 
 # ---------------------------------------------------------------------------
+# KV-cached incremental decoding
+# ---------------------------------------------------------------------------
+#
+# The reference CoCa re-runs the FULL text prefix through the text tower and
+# multimodal decoder for every generated token (coca_model.py:243-268, one
+# `_encode_text` + decoder pass per step) — O(L^2) per caption AND, traced
+# naively, one XLA compile per sequence length. Both towers are strictly
+# causal for the token positions (the appended CLS sits at the END of the
+# sequence, so tokens can never attend it — transformer.py:1055-1062 — and
+# generation never reads the CLS-pooled latent), so the idiomatic TPU form
+# is the same fixed-shape KV-cached step the MED decoder uses
+# (rs_ov/nn/bert.py bert_decode_step): per-layer [B, H, max_len, dh] self
+# K/V buffers updated with dynamic_update_slice, cross K/V of the image
+# tokens projected ONCE at init, one compiled program for every step.
+
+
+def _cached_self_attn(attn_p: dict, x_ln: jnp.ndarray, k_cache, v_cache,
+                      pos, heads: int, out_dtype):
+    """standard_attention at Lq=1 over cached K/V (identical precision
+    pattern: fp32 logits + softmax, product operands follow the cache
+    dtype). Returns (attn_out [B, 1, D], k', v')."""
+    qkv = linear(x_ln, attn_p["in_proj_w"], attn_p["in_proj_b"])
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, heads)
+    k = jax.lax.dynamic_update_slice(
+        k_cache, _split_heads(k_new, heads).astype(k_cache.dtype), (0, 0, pos, 0))
+    v = jax.lax.dynamic_update_slice(
+        v_cache, _split_heads(v_new, heads).astype(v_cache.dtype), (0, 0, pos, 0))
+    scale = (x_ln.shape[-1] // heads) ** -0.5
+    mask = jnp.where(jnp.arange(k.shape[2])[None, None, None, :] <= pos,
+                     0.0, -jnp.inf)
+    attn = _bmm(q * scale, k.transpose(0, 1, 3, 2)) + mask
+    attn = _softmax32(attn)
+    out = _merge_heads(_bmm(attn.astype(v.dtype), v).astype(out_dtype))
+    return linear(out, attn_p["out_proj_w"], attn_p["out_proj_b"]), k, v
+
+
+def coca_decode_init_cache(p: dict, image_embs: jnp.ndarray, cfg: CoCaConfig,
+                           max_len: int) -> dict:
+    """Zeroed self K/V for every text-tower and multimodal layer, plus the
+    per-layer cross K/V of ln_1_kv(image_embs) projected once (instead of
+    once per generated token)."""
+    tcfg, mcfg = cfg.text, cfg.multimodal
+    b = image_embs.shape[0]
+    dtype = p["text"]["token_embedding"].dtype
+
+    def zeros(heads, width):
+        return jnp.zeros((b, heads, max_len, width // heads), dtype)
+
+    text_layers = [{"k": zeros(tcfg.heads, tcfg.width),
+                    "v": zeros(tcfg.heads, tcfg.width)}
+                   for _ in p["text"]["blocks"]]
+    mm_layers = []
+    for xblk in p["multimodal"]["cross_blocks"]:
+        kvin = layer_norm(image_embs, xblk["ln_1_kv"])
+        _, wk, wv = jnp.split(xblk["attn"]["in_proj_w"], 3, axis=0)
+        _, bk, bv = jnp.split(xblk["attn"]["in_proj_b"], 3)
+        mm_layers.append({
+            "k": zeros(mcfg.heads, mcfg.width),
+            "v": zeros(mcfg.heads, mcfg.width),
+            "xk": _split_heads(linear(kvin, wk, bk), mcfg.heads),
+            "xv": _split_heads(linear(kvin, wv, bv), mcfg.heads),
+        })
+    return {"text": text_layers, "mm": mm_layers}
+
+
+def coca_decode_step(p: dict, tokens: jnp.ndarray, pos, cache: dict,
+                     cfg: CoCaConfig):
+    """One incremental token: text-tower embedding of `tokens` [B] at
+    position `pos` (the appended CLS never enters — causal token rows
+    cannot attend it and generation never uses the pooled latent), then the
+    multimodal decoder -> (next-token logits [B, vocab] fp32, cache')."""
+    t, m = p["text"], p["multimodal"]
+    tcfg, mcfg = cfg.text, cfg.multimodal
+    act = quick_gelu if cfg.quick_gelu else gelu
+
+    x = t["token_embedding"][tokens][:, None, :]
+    pos_emb = jax.lax.dynamic_slice_in_dim(t["positional_embedding"], pos, 1, 0)
+    x = x + pos_emb.astype(x.dtype)[None]
+    new_text = []
+    for blk, lc in zip(t["blocks"], cache["text"]):
+        a, k, v = _cached_self_attn(blk["attn"], layer_norm(x, blk["ln_1"]),
+                                    lc["k"], lc["v"], pos, tcfg.heads, x.dtype)
+        x = x + a
+        x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"], act=act)
+        new_text.append({"k": k, "v": v})
+
+    new_mm = []
+    scale = (mcfg.width // mcfg.heads) ** -0.5
+    for blk, xblk, lc in zip(m["blocks"], m["cross_blocks"], cache["mm"]):
+        a, k, v = _cached_self_attn(blk["attn"], layer_norm(x, blk["ln_1"]),
+                                    lc["k"], lc["v"], pos, mcfg.heads, x.dtype)
+        x = x + a
+        x = x + mlp(layer_norm(x, blk["ln_2"]), blk["mlp"], act=act)
+        # _cross_attention at Lq=1 over the precomputed image K/V
+        wq = jnp.split(xblk["attn"]["in_proj_w"], 3, axis=0)[0]
+        bq = jnp.split(xblk["attn"]["in_proj_b"], 3)[0]
+        q = _split_heads(linear(layer_norm(x, xblk["ln_1"]), wq, bq),
+                         mcfg.heads)
+        attn = _softmax32(_bmm(q * scale, lc["xk"].transpose(0, 1, 3, 2)))
+        out = _merge_heads(_bmm(attn, lc["xv"].astype(jnp.float32))
+                           .astype(x.dtype))
+        x = x + linear(out, xblk["attn"]["out_proj_w"],
+                       xblk["attn"]["out_proj_b"])
+        x = x + mlp(layer_norm(x, xblk["ln_2"]), xblk["mlp"], act=act)
+        new_mm.append({"k": k, "v": v, "xk": lc["xk"], "xv": lc["xv"]})
+
+    x = layer_norm(x, m["ln_final"])
+    logits = x @ m["text_projection"].astype(x.dtype)
+    return logits[:, 0].astype(jnp.float32), {"text": new_text, "mm": new_mm}
+
+
+def make_coca_cached_decoder(p: dict, cfg: CoCaConfig, max_length: int):
+    """(init, step) pair à la blip_lm.make_cached_decoder:
+      init(image_embs [B, nq-1, D]) -> cache;
+      step(tokens [B], pos, cache, parent [B]) -> (logits [B, V], cache')
+    — `parent` gathers cache rows first (beam reordering; arange = none).
+    One compiled program per geometry; `pos` is a traced scalar.
+
+    Params ride as jit ARGUMENTS (functools.partial), not closure
+    constants: closed-over weight pytrees are inlined into the serialized
+    HLO, and at production size that blows the remote-compile payload
+    limit of the tunnelled backend (observed HTTP 413 at CoCa-Base)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def init(pp, image_embs, _max_len):
+        return coca_decode_init_cache(pp, image_embs, cfg, _max_len)
+
+    @jax.jit
+    def step(pp, tokens, pos, cache, parent):
+        cache = jax.tree_util.tree_map(lambda a: a[parent], cache)
+        return coca_decode_step(pp, tokens, pos, cache, cfg)
+
+    return (lambda image_embs: init(p, image_embs, max_length),
+            lambda tokens, pos, cache, parent: step(p, tokens, pos, cache,
+                                                    parent))
+
+
+# ---------------------------------------------------------------------------
 # generation (coca_model.py:188-268)
 # ---------------------------------------------------------------------------
 
@@ -275,53 +419,123 @@ def _warp_top_p(logits: np.ndarray, top_p: float) -> np.ndarray:
     return np.where(drop, -np.inf, logits)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_encode_image(cfg: CoCaConfig):
+    """One compiled image encode per config for the generate path (params
+    ride as jit arguments — closed-over weights would inline into the
+    serialized HLO and blow the tunnelled backend's compile payload
+    limit). Eager encode costs ~100+ per-op dispatches per call on a
+    remote backend."""
+    return jax.jit(lambda pp, im: coca_encode_image(pp, im, cfg))
+
+
+def _rep_penalise(logits: np.ndarray, seqs, penalty: float) -> np.ndarray:
+    """The reference's repetition penalty (coca_model.py via HF
+    RepetitionPenaltyLogitsProcessor): seen tokens' logits divided (if
+    positive) or multiplied (if negative) by the penalty."""
+    if penalty == 1.0:
+        return logits
+    for i, s in enumerate(seqs):
+        seen = np.unique(np.asarray(s))
+        pos = logits[i, seen] > 0
+        logits[i, seen] = np.where(pos, logits[i, seen] / penalty,
+                                   logits[i, seen] * penalty)
+    return logits
+
+
 def coca_generate(p: dict, images, cfg: CoCaConfig, *, seq_len: int = 30,
                   temperature: float = 1.0, generation_type: str = "beam_search",
                   top_p: float = 0.1, top_k: int = 1, num_beams: int = 6,
                   min_seq_len: int = 5, repetition_penalty: float = 1.0,
                   sot_token_id: int = 49406, eos_token_id: int = 49407,
                   pad_token_id: Optional[int] = None, seed: int = 0,
-                  fixed_output_length: bool = False) -> np.ndarray:
+                  fixed_output_length: bool = False,
+                  use_cache: bool = True) -> np.ndarray:
     """Autoregressive caption generation. top_k / top_p sample per step; the
     reference's HF grouped beam search (coca_model.py:270+) is covered by a
-    plain length-normalised beam search."""
+    plain length-normalised beam search.
+
+    use_cache=True (default) decodes with the fixed-shape KV-cached step
+    (make_coca_cached_decoder) — one compiled program for the whole loop
+    instead of the reference's per-length full-prefix re-runs
+    (coca_model.py:243-268). Tokens match the full-prefix path
+    (tests/test_coca_cached.py); the full-prefix path remains as the
+    parity oracle and the fallback for HF text towers and
+    seq_len > context_length (where the uncached path's sliding window
+    applies)."""
     pad_token_id = cfg.pad_id if pad_token_id is None else pad_token_id
-    image_latent, image_embs = coca_encode_image(p, images, cfg)
+    image_latent, image_embs = _jitted_encode_image(cfg)(p, images)
     b = image_embs.shape[0]
     rng = np.random.RandomState(seed)
 
+    cacheable = (use_cache and not cfg.text.hf_model_name
+                 and seq_len <= min(cfg.text.context_length,
+                                    cfg.multimodal.context_length))
+    if cacheable:
+        initf, stepf = make_coca_cached_decoder(p, cfg, seq_len)
+
+        def make_stepper(embs_rows):
+            state = {"cache": initf(embs_rows)}
+
+            def stepc(toks, pos, parent) -> np.ndarray:
+                logits, state["cache"] = stepf(
+                    jnp.asarray(toks, jnp.int32), jnp.asarray(pos, jnp.int32),
+                    state["cache"], jnp.asarray(parent, jnp.int32))
+                return np.asarray(logits).astype(np.float64)
+
+            return stepc
+
+    # sliding window for prefixes beyond the context: the reference slices
+    # out[:, -max_seq_len:] (coca_model.py:277) with max_seq_len = ctx + 1,
+    # which overflows its own positional table (num_pos = ctx + 1 but the
+    # appended CLS needs one more row) the moment the window fills; clamp
+    # to what the text tower (ctx tokens + CLS) and the multimodal mask
+    # (ctx rows) can actually represent
+    window = min(cfg.text.context_length, cfg.multimodal.context_length)
+
     def step_logits(out: np.ndarray, embs) -> np.ndarray:
-        texts = jnp.asarray(out[:, -cfg.multimodal.context_length - 1:])
+        texts = jnp.asarray(out[:, -window:])
         d = coca_forward(p, None, texts, cfg,
                          image_latent=jnp.zeros((out.shape[0], cfg.embed_dim)),
                          image_embs=embs)
         logits = np.asarray(d["logits"][:, -1]).astype(np.float64)
-        if repetition_penalty != 1.0:
-            for i in range(out.shape[0]):
-                seen = np.unique(out[i])
-                pos = logits[i, seen] > 0
-                logits[i, seen] = np.where(pos, logits[i, seen] / repetition_penalty,
-                                           logits[i, seen] * repetition_penalty)
-        return logits
+        return _rep_penalise(logits, list(out), repetition_penalty)
 
     if generation_type == "beam_search":
         finished = []
         for i in range(b):
             embs_i = image_embs[i:i + 1]
-            beams = [(0.0, [sot_token_id])]
+            stepc = (make_stepper(jnp.repeat(embs_i, num_beams, axis=0))
+                     if cacheable else None)
+            beams = [(0.0, [sot_token_id], 0)]  # (score, seq, cache row)
             done = []
-            for _ in range(seq_len - 1):
+            for it in range(seq_len - 1):
                 cand = []
-                out = np.asarray([bm[1] for bm in beams], np.int32)
-                logits = step_logits(out, jnp.repeat(embs_i, len(beams), axis=0))
+                if cacheable:
+                    toks = np.zeros(num_beams, np.int32)
+                    par = np.zeros(num_beams, np.int32)
+                    for bi, (_, s, row_i) in enumerate(beams):
+                        toks[bi] = s[-1]
+                        par[bi] = row_i
+                    logits = stepc(toks, it, par)[:len(beams)]
+                    logits = _rep_penalise(logits, [s for _, s, _ in beams],
+                                           repetition_penalty)
+                else:
+                    out = np.asarray([bm[1] for bm in beams], np.int32)
+                    logits = step_logits(
+                        out, jnp.repeat(embs_i, len(beams), axis=0))
                 m = logits.max(-1, keepdims=True)
                 logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
-                for (score, toks), row in zip(beams, logp):
-                    if len(toks) <= min_seq_len:
+                for bi, ((score, toks_b, _), row) in enumerate(zip(beams, logp)):
+                    if len(toks_b) <= min_seq_len:
                         row = row.copy()
                         row[eos_token_id] = -np.inf
                     for tok in np.argsort(-row)[:num_beams]:
-                        cand.append((score + float(row[tok]), toks + [int(tok)]))
+                        cand.append((score + float(row[tok]),
+                                     toks_b + [int(tok)], bi))
                 cand.sort(key=lambda sc: sc[0] / len(sc[1]), reverse=True)
                 beams = []
                 for sc in cand:
@@ -346,8 +560,15 @@ def coca_generate(p: dict, images, cfg: CoCaConfig, *, seq_len: int = 30,
         raise ValueError("generation_type has to be one of "
                          "| beam_search | top_p | top_k |.")
     out = np.full((b, 1), sot_token_id, np.int32)
+    stepc = make_stepper(image_embs) if cacheable else None
+    arange = np.arange(b, dtype=np.int32)
     while out.shape[1] < seq_len:
-        logits = step_logits(out, image_embs) / max(temperature, 1e-8)
+        if cacheable:
+            logits = stepc(out[:, -1], out.shape[1] - 1, arange)
+            logits = _rep_penalise(logits, list(out), repetition_penalty)
+        else:
+            logits = step_logits(out, image_embs)
+        logits = logits / max(temperature, 1e-8)
         if out.shape[1] < min_seq_len:
             logits[:, eos_token_id] = -np.inf
         logits = (_warp_top_k(logits, top_k) if generation_type == "top_k"
