@@ -24,7 +24,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY compile: on the remote-compile backend even a
+        # trivial eager op costs an HTTP round trip (~0.5-1s), so the
+        # usual "don't persist sub-second compiles" default re-pays
+        # hundreds of tiny compiles in every fresh process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _enabled = True
     except Exception:  # older jax or read-only fs: run without the cache
         pass

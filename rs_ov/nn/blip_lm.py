@@ -33,6 +33,7 @@ repeat.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -253,6 +254,28 @@ def _beam_search(step1, prefix, eos, num_beams, max_length, min_length,
     return max(finished, key=lambda c: c[0])[1]
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_visual_encode(vcfg):
+    """One compiled image encode per vision config for the generate paths
+    (params as jit arguments — closure weights would inline into the HLO;
+    eager encode costs hundreds of per-op remote-compile round trips on
+    the tunnelled backend)."""
+    return jax.jit(lambda vp, im: blip_vit_forward(vp, im, vcfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_question_encode(cfg: BlipConfig):
+    """Image encode + image-conditioned question encoder as ONE compiled
+    program (the VQA generate/rank front half)."""
+
+    def f(pp, images, q_ids, q_mask):
+        image_embeds = blip_vit_forward(pp["visual"], images, cfg.vision)
+        return bert_encode(pp["text_encoder"], q_ids, q_mask, cfg.text,
+                           encoder_hidden_states=image_embeds)
+
+    return jax.jit(f)
+
+
 def make_cached_decoder(params: dict, cfg: BlipConfig, max_length: int):
     """KV-cached fixed-shape decode step (round-4 VERDICT #5; reference
     med.py:150-167 past_key_value concat, :72-82 position offset).
@@ -270,6 +293,9 @@ def make_cached_decoder(params: dict, cfg: BlipConfig, max_length: int):
     all-ones question_atts — reference blip.py:141, blip_vqa.py:94).
     Tokens are bit-identical to the full-prefix path: masked tail slots
     contribute exact fp32 zeros either way (tests/test_blip_lm.py)."""
+    from rs_ov.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # decode-step compiles replay <1s from disk
     text_p = params["text_decoder"]
     dtype = text_p["embeddings"]["word"].dtype
 
@@ -376,7 +402,7 @@ def generate_captions(params: dict, images: jnp.ndarray, cfg: BlipConfig,
     repetition_penalty 1.1 (:152). use_cache=True (default) decodes with
     the KV-cached incremental step — identical tokens, O(L) less work per
     step; False re-runs the full padded prefix (the parity oracle)."""
-    image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
+    image_embeds = _jitted_visual_encode(cfg.vision)(params["visual"], images)
     n_img = image_embeds.shape[0]
     enc = tokenizer([prompt] * n_img, max_length=max_length)
     prompt_ids = enc["input_ids"][0]
@@ -563,9 +589,7 @@ def vqa_generate_answers(params: dict, images: jnp.ndarray,
     decoding (unlike the 'rank' path, which gates with the real q_mask).
     use_cache=True decodes with the KV-cached incremental step (identical
     tokens; the all-ones mask is the cached decoder's convention)."""
-    image_embeds = blip_vit_forward(params["visual"], images, cfg.vision)
-    q_states = bert_encode(params["text_encoder"], q_ids, q_mask, cfg.text,
-                           encoder_hidden_states=image_embeds)
+    q_states = _jitted_question_encode(cfg)(params, images, q_ids, q_mask)
     q_mask = jnp.ones_like(jnp.asarray(q_mask))
 
     if use_cache:

@@ -34,6 +34,7 @@ The CoCa contrastive+caption LOSS lives in rs_ov/train/losses.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -380,7 +381,9 @@ def make_coca_cached_decoder(p: dict, cfg: CoCaConfig, max_length: int):
     constants: closed-over weight pytrees are inlined into the serialized
     HLO, and at production size that blows the remote-compile payload
     limit of the tunnelled backend (observed HTTP 413 at CoCa-Base)."""
-    import functools
+    from rs_ov.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # decode-step compiles replay <1s from disk
 
     @functools.partial(jax.jit, static_argnums=2)
     def init(pp, image_embs, _max_len):
@@ -417,9 +420,6 @@ def _warp_top_p(logits: np.ndarray, top_p: float) -> np.ndarray:
     drop = np.zeros_like(drop_sorted)
     np.put_along_axis(drop, order, drop_sorted, axis=-1)
     return np.where(drop, -np.inf, logits)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
